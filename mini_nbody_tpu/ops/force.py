@@ -1,0 +1,67 @@
+"""Force-op dispatcher: one API over the jnp / Pallas-direct / Pallas-MXU paths.
+
+The reference has exactly one datapath elaborated at synthesis time; here the
+backend is a static config choice (SimConfig.backend) resolved at trace time,
+so each choice is its own specialized XLA program.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mini_nbody_tpu.utils.config import SOFTENING, SimConfig
+from mini_nbody_tpu.ops.reference import body_force_jnp
+
+
+def body_force(
+    pos_i,
+    pos_j,
+    mass_j=None,
+    softening: float = SOFTENING,
+    backend: str = "jnp",
+    tile_i: int = 256,
+    tile_j: int = 1024,
+    interpret: bool = False,
+    pair_dtype=jnp.float32,
+):
+    """Forces on pos_i (Ni,3) from sources (pos_j, mass_j). Returns (Ni,3) fp32."""
+    if backend == "jnp":
+        # Bound the (Ni, Nj) intermediate for big problems.
+        chunk = None
+        ni = pos_i.shape[0]
+        if ni * pos_j.shape[0] > 1 << 24 and ni % tile_i == 0:
+            chunk = tile_i
+        return body_force_jnp(pos_i, pos_j, mass_j, softening=softening, row_chunk=chunk)
+    if backend == "pallas":
+        from mini_nbody_tpu.ops.pallas_force import body_force_pallas
+
+        return body_force_pallas(
+            pos_i, pos_j, mass_j,
+            softening=softening, tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+        )
+    if backend == "mxu":
+        from mini_nbody_tpu.ops.mxu_force import body_force_mxu
+
+        return body_force_mxu(
+            pos_i, pos_j, mass_j,
+            softening=softening, tile_i=tile_i, tile_j=tile_j,
+            interpret=interpret, pair_dtype=pair_dtype,
+        )
+    raise ValueError(f"unknown force backend {backend!r}")
+
+
+def make_force_fn(cfg: SimConfig):
+    """Close a SimConfig over body_force: (pos_i, pos_j, mass_j) -> (Ni,3)."""
+    backend = cfg.resolve_backend()
+    interpret = cfg.resolve_interpret()
+    pair_dtype = jnp.bfloat16 if cfg.pair_dtype == "bfloat16" else jnp.float32
+
+    def force(pos_i, pos_j, mass_j=None):
+        return body_force(
+            pos_i, pos_j, mass_j,
+            softening=cfg.softening, backend=backend,
+            tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+            interpret=interpret, pair_dtype=pair_dtype,
+        )
+
+    return force

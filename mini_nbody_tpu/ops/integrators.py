@@ -1,0 +1,53 @@
+"""Time integrators.
+
+The reference hardware computes forces only; integration lives on the ARM host
+(SURVEY.md §0 — "the host owns state, integration, iteration"). Upstream
+mini-nbody's integrator is semi-implicit Euler:
+
+    v += dt * F(x);  x += dt * v        (velocity first, then position)
+
+We provide that (reference fidelity) plus leapfrog/KDK (symplectic, the right
+choice for the energy-drift gate in BASELINE.json). Both are pure functions
+``(state, acc) -> (state, acc)`` carrying the acceleration so leapfrog costs
+one force evaluation per step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+
+from mini_nbody_tpu.models.state import BodyState
+
+ForceFn = Callable[..., jnp.ndarray]  # (pos_i, pos_j, mass_j) -> (Ni, 3)
+
+
+def euler_step(state: BodyState, acc, force_fn: ForceFn, dt: float):
+    """Semi-implicit Euler, mini-nbody semantics (v then x). `acc` is ignored
+    on input (recomputed each step) but returned for a uniform interface."""
+    f = force_fn(state.pos, state.pos, state.mass)
+    vel = state.vel + dt * f
+    pos = state.pos + dt * vel
+    return BodyState(pos=pos, vel=vel, mass=state.mass), f
+
+
+def leapfrog_step(state: BodyState, acc, force_fn: ForceFn, dt: float):
+    """Kick-drift-kick leapfrog; `acc` must be F(state.pos) from the previous
+    step (or an initial evaluation). One force evaluation per step."""
+    half = 0.5 * dt
+    vel_h = state.vel + half * acc
+    pos = state.pos + dt * vel_h
+    acc_new = force_fn(pos, pos, state.mass)
+    vel = vel_h + half * acc_new
+    return BodyState(pos=pos, vel=vel, mass=state.mass), acc_new
+
+
+INTEGRATORS = {"euler": euler_step, "leapfrog": leapfrog_step}
+
+
+def initial_acc(state: BodyState, force_fn: ForceFn, integrator: str):
+    """Acceleration carry needed before the first step (leapfrog only)."""
+    if integrator == "leapfrog":
+        return force_fn(state.pos, state.pos, state.mass)
+    return jnp.zeros_like(state.pos)

@@ -1,0 +1,152 @@
+"""Tiled Pallas TPU kernel for the softened all-pairs bodyForce.
+
+TPU-native re-design of the reference FPGA datapath (SURVEY.md §1 L3-L4):
+
+* The reference holds 12 i-bodies in registers and streams one j-target per
+  cycle to all 12 force lanes (``src/top_level.vhd:83,233-254``;
+  ``src/compute_store.vhd:94-111``). Here an i-tile of ``tile_i`` bodies is
+  resident in VMEM and a j-block of ``tile_j`` bodies streams through the
+  Pallas grid per step — same structure, VPU width instead of 12 lanes.
+* The reference hides FMA latency with 16 rotating partial sums plus a
+  flush/scatter epoch and a shared 16->1 adder tree
+  (``src/fxyz.vhd:80-87,130-184``; ``src/final_adder.vhd``). Here the
+  accumulator is the output block in VMEM, revisited across the j grid
+  dimension; the lane-axis reduction is a single ``jnp.sum`` the Mosaic
+  compiler schedules optimally.
+* Tail handling: the reference masks writes for i > N
+  (``WRITE_MASK``, ``src/top_level.vhd:201-205``); here tails are padded to
+  tile multiples with zero-mass bodies (zero force contribution, results
+  sliced off).
+
+Math per pair (identical to ``src/dxy.vhd:94-122``, ``src/dzsoft.vhd:186-202``,
+``src/fxyz.vhd:101-127``): d = p_j - p_i; r2 = |d|^2 + SOFTENING;
+w = rsqrt(r2)^3 * m_j; F_i += d * w. All fp32 on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mini_nbody_tpu.utils.config import SOFTENING, round_up
+
+# Pallas TPU compiler-params class was renamed across JAX versions.
+_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
+    pltpu, "TPUCompilerParams"
+)
+
+
+def _direct_kernel(pi_ref, pjt_ref, mj_ref, out_ref, *, softening, acc_steps):
+    """One (i-tile, j-block) grid step of the direct VPU force kernel."""
+    j = pl.program_id(1)
+
+    pi = pi_ref[:]  # (TI, 3)
+    xi, yi, zi = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]  # (TI, 1) each
+    xj = pjt_ref[0:1, :]  # (1, TJ)
+    yj = pjt_ref[1:2, :]
+    zj = pjt_ref[2:3, :]
+    mj = mj_ref[0:1, :]
+
+    dx = xj - xi  # (TI, TJ) broadcast
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + (dz * dz + jnp.asarray(softening, dx.dtype))
+    inv = jax.lax.rsqrt(r2)
+    w = (inv * inv) * (inv * mj)
+
+    fx = jnp.sum(dx * w, axis=1, keepdims=True)  # (TI, 1)
+    fy = jnp.sum(dy * w, axis=1, keepdims=True)
+    fz = jnp.sum(dz * w, axis=1, keepdims=True)
+    f = jnp.concatenate([fx, fy, fz], axis=1)  # (TI, 3)
+
+    if acc_steps == 1:
+        out_ref[:] = f
+    else:
+        @pl.when(j == 0)
+        def _init():
+            out_ref[:] = f
+
+        @pl.when(j > 0)
+        def _acc():
+            out_ref[:] = out_ref[:] + f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile_i", "tile_j", "interpret"),
+)
+def body_force_pallas(
+    pos_i,
+    pos_j,
+    mass_j=None,
+    softening: float = SOFTENING,
+    tile_i: int = 256,
+    tile_j: int = 1024,
+    interpret: bool = False,
+):
+    """Forces on pos_i (Ni,3) due to sources pos_j (Nj,3) with masses mass_j.
+
+    Rectangular so the same kernel serves single-chip (pos_i is pos_j) and
+    sharded use (local i-shard vs gathered/ring-passed j-shard). fp32 in/out.
+    """
+    ni, nj = pos_i.shape[0], pos_j.shape[0]
+    if mass_j is None:
+        mass_j = jnp.ones((nj,), pos_j.dtype)
+
+    dtype = jnp.float32
+    pos_i = pos_i.astype(dtype)
+    pos_j = pos_j.astype(dtype)
+    mass_j = mass_j.astype(dtype)
+
+    tile_i = min(tile_i, round_up(ni, 8))
+    tile_j = min(tile_j, round_up(nj, 128))
+    ni_p = round_up(ni, tile_i)
+    nj_p = round_up(nj, tile_j)
+
+    if ni_p != ni:
+        pos_i = jnp.pad(pos_i, ((0, ni_p - ni), (0, 0)))
+    if nj_p != nj:
+        pos_j = jnp.pad(pos_j, ((0, nj_p - nj), (0, 0)))
+        mass_j = jnp.pad(mass_j, (0, nj_p - nj))  # zero mass => inert
+
+    pjt = pos_j.T  # (3, Nj_p): j coords along lanes
+    mj = mass_j[None, :]  # (1, Nj_p)
+
+    grid = (ni_p // tile_i, nj_p // tile_j)
+    acc_steps = grid[1]
+
+    kernel = functools.partial(
+        _direct_kernel, softening=float(softening), acc_steps=acc_steps
+    )
+
+    pairs = ni_p * nj_p
+    cost = pl.CostEstimate(
+        flops=20 * pairs,  # the conventional 20-flops/interaction accounting
+        bytes_accessed=(ni_p * 3 + nj_p * 4 + ni_p * 3) * 4,
+        transcendentals=pairs,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_i, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ni_p, 3), dtype),
+        compiler_params=_CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(pos_i, pjt, mj)
+
+    return out[:ni]

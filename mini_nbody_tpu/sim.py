@@ -1,0 +1,87 @@
+"""The step loop: jit + lax.scan over integration steps.
+
+TPU-native replacement for the reference's control plane (SURVEY.md §1 L5-L7):
+the 4-state FSM scheduler (``waiting -> block_setup -> compute -> complete``,
+``src/top_level.vhd:50-51,176-272``) and the host's poll-the-control-word
+protocol (``src/top_level.vhd:184-186,255-262``) collapse into a single XLA
+program — ``simulate`` traces the whole multi-step trajectory once, so there
+is no per-step host round-trip at all (the reference pays a PS<->PL handshake
+per force pass).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mini_nbody_tpu.models.state import BodyState
+from mini_nbody_tpu.ops.force import make_force_fn
+from mini_nbody_tpu.ops.integrators import INTEGRATORS, initial_acc
+from mini_nbody_tpu.utils.config import SimConfig
+
+
+def make_step_fn(cfg: SimConfig):
+    """Build ``step((state, acc)) -> (state, acc)`` for one dt of config cfg.
+
+    Single-chip version; for mesh-sharded steps see parallel.sharded.
+    """
+    force = make_force_fn(cfg)
+    integ = INTEGRATORS[cfg.integrator]
+
+    def step(carry):
+        state, acc = carry
+        return integ(state, acc, force, cfg.dt)
+
+    return step
+
+
+def init_carry(cfg: SimConfig, state: BodyState):
+    """(state, acc) carry; evaluates the initial acceleration for leapfrog."""
+    force = make_force_fn(cfg)
+    return state, initial_acc(state, force, cfg.integrator)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps"))
+def _simulate_scan(cfg: SimConfig, carry, steps: int):
+    step = make_step_fn(cfg)
+
+    def body(c, _):
+        return step(c), None
+
+    carry, _ = jax.lax.scan(body, carry, None, length=steps)
+    return carry
+
+
+def simulate(
+    cfg: SimConfig,
+    state: BodyState,
+    steps: Optional[int] = None,
+) -> BodyState:
+    """Run `steps` (default cfg.steps) integration steps as one XLA program."""
+    steps = cfg.steps if steps is None else steps
+    carry = init_carry(cfg, state)
+    state, _ = _simulate_scan(cfg, carry, steps)
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "save_every"))
+def trajectory(cfg: SimConfig, state: BodyState, steps: int, save_every: int = 1):
+    """Like simulate, but also returns stacked position snapshots every
+    `save_every` steps: (state_final, pos_history[steps//save_every, N, 3])."""
+    if steps % save_every != 0:
+        raise ValueError("steps must be divisible by save_every")
+    step = make_step_fn(cfg)
+    carry = init_carry(cfg, state)
+
+    def outer(c, _):
+        def inner(c2, _):
+            return step(c2), None
+
+        c, _ = jax.lax.scan(inner, c, None, length=save_every)
+        return c, c[0].pos
+
+    carry, hist = jax.lax.scan(outer, carry, None, length=steps // save_every)
+    return carry[0], hist

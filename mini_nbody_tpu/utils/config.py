@@ -1,0 +1,123 @@
+"""Simulation configuration.
+
+The reference centralizes all knobs as compile-time VHDL generics in
+``src/top_level.vhd:35-47`` (fp32 width, IP latencies, ``num_blocks=12``,
+``ram_depth``) with SOFTENING hard-baked at ``src/dzsoft.vhd:177`` and the only
+runtime inputs being N and the begin bit of the control word
+(``src/top_level.vhd:184-185``).  The TPU-native equivalent is a frozen
+dataclass: everything here is a *static* (trace-time) constant, so each config
+compiles to one specialized XLA program — the analog of elaborating the RTL
+with a generic map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+#: Reference softening constant: fp32(1.0e-9), baked into the FPGA datapath at
+#: ``src/dzsoft.vhd:177-178`` (dz^2 + SOFTENING fused in one FMA).
+SOFTENING = 1.0e-9
+
+#: Reference step size (upstream mini-nbody default; host-side in the reference).
+DT = 0.01
+
+_BACKENDS = ("auto", "jnp", "pallas", "mxu")
+_INTEGRATORS = ("euler", "leapfrog")
+_PAIR_DTYPES = ("float32", "bfloat16")
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static configuration for an N-body simulation.
+
+    Attributes:
+      n: number of bodies (the reference caps this at 32,767 via its RAM depth,
+        ``src/top_level.vhd:45-46``; we have no such cap).
+      dt: integrator time step.
+      steps: number of integration steps per `simulate` call.
+      softening: Plummer softening epsilon**2 added to every pair distance^2.
+      integrator: "euler" (reference semantics: v += dt*F; x += dt*v) or
+        "leapfrog" (KDK, symplectic).
+      backend: force-kernel implementation. "auto" picks "pallas" on TPU and
+        "jnp" elsewhere. "mxu" = gram-matrix kernel that routes the O(N^2)
+        FLOPs through the matrix unit.
+      pair_dtype: dtype for the pairwise interaction math. Accumulation is
+        always fp32 (mirrors the reference's fp32 datapath,
+        ``src/top_level.vhd:35-36``; bf16 pairs trade force precision for MXU
+        throughput).
+      tile_i: i-body block resident in VMEM per kernel invocation (the analog
+        of the 12 i-registers, ``src/top_level.vhd:83,206-229`` — scaled up to
+        VPU width).
+      tile_j: j-target block streamed per grid step (the analog of the
+        1-per-cycle j-stream, ``src/top_level.vhd:233-254``).
+      mesh_shape: devices along the body-sharding axis; None = single chip.
+      comm: cross-chip position exchange: "all_gather" or "ring" (ppermute,
+        overlapping each hop with the force compute on the resident shard).
+      interpret: force Pallas interpret mode (CPU testing); None = auto
+        (interpret unless running on real TPU).
+    """
+
+    n: int
+    dt: float = DT
+    steps: int = 10
+    softening: float = SOFTENING
+    integrator: str = "euler"
+    backend: str = "auto"
+    pair_dtype: str = "float32"
+    tile_i: int = 256
+    tile_j: int = 1024
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    comm: str = "all_gather"
+    interpret: Optional[bool] = None
+
+    def __post_init__(self):
+        if self.n <= 0:
+            raise ValueError(f"n must be positive, got {self.n}")
+        if self.backend not in _BACKENDS:
+            raise ValueError(f"backend must be one of {_BACKENDS}, got {self.backend!r}")
+        if self.integrator not in _INTEGRATORS:
+            raise ValueError(
+                f"integrator must be one of {_INTEGRATORS}, got {self.integrator!r}"
+            )
+        if self.pair_dtype not in _PAIR_DTYPES:
+            raise ValueError(
+                f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"
+            )
+        if self.comm not in ("all_gather", "ring"):
+            raise ValueError(f"comm must be 'all_gather' or 'ring', got {self.comm!r}")
+        if self.tile_i % 8 != 0:
+            raise ValueError(f"tile_i must be a multiple of 8 (sublanes), got {self.tile_i}")
+        if self.tile_j % 128 != 0:
+            raise ValueError(f"tile_j must be a multiple of 128 (lanes), got {self.tile_j}")
+
+    def resolve_backend(self) -> str:
+        """Resolve 'auto' to a concrete backend for the current platform."""
+        if self.backend != "auto":
+            return self.backend
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+    def resolve_interpret(self) -> bool:
+        """Pallas interpret mode: real Mosaic on TPU, interpreter elsewhere."""
+        if self.interpret is not None:
+            return self.interpret
+        import jax
+
+        return jax.default_backend() != "tpu"
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def ceil_log2(x: int) -> int:
+    """Smallest k with 2**k >= x (reference utility ``subprograms_types.vhd:14-21``)."""
+    if x <= 0:
+        raise ValueError(f"ceil_log2 requires positive input, got {x}")
+    return (x - 1).bit_length()
+
+
+def round_up(x: int, m: int) -> int:
+    """Round x up to a multiple of m (tile-shape math)."""
+    return -(-x // m) * m

@@ -1,0 +1,113 @@
+"""Timing + throughput harness.
+
+TPU-native replacement for the reference's profiling system — a hardware
+kilocycle counter published to the host in control-word bits 63:32 at
+completion (``src/top_level.vhd:95-96,121-146,255-263``), from which the host
+derives interactions/s. Here: wall-clock around a forced device round-trip,
+GInteractions/s, and %-of-VPU-roofline per BASELINE.json's metric.
+
+Note on synchronization: under the axon TPU tunnel ``block_until_ready`` can
+return before remote execution completes, so ``time_fn`` forces a small
+device->host transfer of the result to bound the measurement (verified: gives
+physically-plausible rates where block_until_ready alone reports impossible
+ones).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import numpy as np
+
+#: Conventional flops-per-interaction accounting used by the CUDA nbody
+#: samples (and BASELINE.json): 20 flops per body-body interaction.
+FLOPS_PER_INTERACTION = 20.0
+
+#: Approximate VPU fp32 op cost of one interaction in the direct kernel
+#: (3 sub, 6 for r^2, 1 rsqrt, 3 cube/scale, 3 mul, 3 add-accumulate).
+VPU_OPS_PER_INTERACTION = 19.0
+
+#: Peak-throughput estimates per chip generation (per-chip, fp32 VPU ops/s and
+#: bf16 MXU flops/s). VPU = 4 ALUs x (8x128) lanes x clock; clocks inferred
+#: from published peak TFLOPs. These are estimates for roofline reporting.
+CHIP_PEAKS = {
+    "v5 lite": {"vpu_fp32": 6.1e12, "mxu_bf16": 197e12, "clock": 1.5e9},
+    "v5e": {"vpu_fp32": 6.1e12, "mxu_bf16": 197e12, "clock": 1.5e9},
+    "v5p": {"vpu_fp32": 7.2e12, "mxu_bf16": 459e12, "clock": 1.75e9},
+    "v4": {"vpu_fp32": 4.3e12, "mxu_bf16": 275e12, "clock": 1.05e9},
+    "v6e": {"vpu_fp32": 7.6e12, "mxu_bf16": 918e12, "clock": 0.94e9},
+    "cpu": {"vpu_fp32": 1e11, "mxu_bf16": 1e12, "clock": 3e9},
+}
+
+
+def chip_peaks() -> dict:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in CHIP_PEAKS.items():
+        if key in kind:
+            return peaks
+    return CHIP_PEAKS["cpu"]
+
+
+def _force_sync(out):
+    """Force full execution: device->host transfer of one leaf element."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def time_fn(fn: Callable, *args, reps: int = 3, warmup: int = 1) -> float:
+    """Median wall-clock seconds per call of fn(*args), compile excluded."""
+    for _ in range(warmup):
+        _force_sync(fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force_sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+@dataclass
+class Throughput:
+    n: int
+    steps: int
+    seconds: float
+    n_devices: int = 1
+
+    @property
+    def interactions(self) -> float:
+        return float(self.n) ** 2 * self.steps
+
+    @property
+    def ginteractions_per_s(self) -> float:
+        return self.interactions / self.seconds / 1e9
+
+    @property
+    def ginteractions_per_s_per_device(self) -> float:
+        return self.ginteractions_per_s / self.n_devices
+
+    @property
+    def gflops(self) -> float:
+        return self.interactions * FLOPS_PER_INTERACTION / self.seconds / 1e9
+
+    def roofline_fraction(self, path: str = "vpu") -> float:
+        """Fraction of per-chip peak: 'vpu' for the direct kernel (VPU-bound),
+        'mxu' for the gram-matrix kernel (MXU-bound)."""
+        peaks = chip_peaks()
+        per_dev = self.interactions / self.seconds / self.n_devices
+        if path == "vpu":
+            return per_dev * VPU_OPS_PER_INTERACTION / peaks["vpu_fp32"]
+        return per_dev * FLOPS_PER_INTERACTION / peaks["mxu_bf16"]
+
+    def report(self, path: str = "vpu") -> dict:
+        return {
+            "n": self.n,
+            "steps": self.steps,
+            "seconds": round(self.seconds, 6),
+            "ginteractions_per_s": round(self.ginteractions_per_s, 3),
+            "per_device": round(self.ginteractions_per_s_per_device, 3),
+            "gflops_20c": round(self.gflops, 1),
+            "roofline_frac": round(self.roofline_fraction(path), 4),
+        }

@@ -1,0 +1,86 @@
+"""Mesh-sharded step on the virtual 8-device CPU mesh (SURVEY.md §4 gate)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mini_nbody_tpu import SimConfig, simulate
+from mini_nbody_tpu.models import init
+from mini_nbody_tpu.parallel import make_mesh, shard_state, simulate_sharded
+from mini_nbody_tpu.parallel.sharded import init_sharded_carry, make_sharded_step_fn
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("comm", ["all_gather", "ring"])
+def test_sharded_matches_single_chip(mesh, comm):
+    n = 512
+    state = init.uniform_random(jax.random.key(0), n)
+    cfg = SimConfig(n=n, dt=0.01, steps=5, backend="jnp", comm=comm)
+    ref = simulate(cfg, state)
+    out = simulate_sharded(cfg, mesh, state)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.vel), np.asarray(ref.vel), rtol=1e-3, atol=1e-4 * scale
+    )
+
+
+@pytest.mark.parametrize("comm", ["all_gather", "ring"])
+def test_sharded_pallas_interpret(mesh, comm):
+    # Pallas kernel inside shard_map (interpret mode on CPU).
+    n = 256
+    state = init.uniform_random(jax.random.key(1), n)
+    cfg = SimConfig(n=n, steps=2, backend="pallas", comm=comm,
+                    tile_i=32, tile_j=128)
+    ref = simulate(cfg.replace(backend="jnp"), state)
+    out = simulate_sharded(cfg, mesh, state)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
+
+
+def test_non_divisible_n_pads(mesh):
+    # N not divisible by the mesh: shard_state pads with zero-mass bodies.
+    n = 100
+    state = init.uniform_random(jax.random.key(2), n)
+    cfg = SimConfig(n=n, steps=3, backend="jnp")
+    ref = simulate(cfg, state)
+    out = simulate_sharded(cfg, mesh, state)
+    assert out.n == n
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
+
+
+def test_leapfrog_sharded(mesh):
+    n = 256
+    state = init.plummer(jax.random.key(3), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=10, integrator="leapfrog",
+                    softening=1e-2, backend="jnp", comm="ring")
+    ref = simulate(cfg, state)
+    out = simulate_sharded(cfg, mesh, state)
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_output_stays_sharded(mesh):
+    n = 512
+    state = init.uniform_random(jax.random.key(4), n)
+    cfg = SimConfig(n=n, steps=1, backend="jnp")
+    sharded = shard_state(state, mesh)
+    step = make_sharded_step_fn(cfg, mesh)
+    carry = init_sharded_carry(cfg, mesh, sharded)
+    out, _ = jax.jit(step)(carry)
+    # The step must not implicitly replicate the state.
+    assert not out.pos.sharding.is_fully_replicated
+    assert out.pos.sharding.spec == jax.sharding.PartitionSpec("i", None)

@@ -1,0 +1,93 @@
+"""Integrators + scan loop: reference Euler semantics, conservation gates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_nbody_tpu import SimConfig, simulate
+from mini_nbody_tpu.models import init
+from mini_nbody_tpu.models.state import BodyState
+from mini_nbody_tpu.ops import diagnostics as diag
+from mini_nbody_tpu.sim import init_carry, make_step_fn, trajectory
+
+
+def _np_reference_sim(pos, vel, dt, steps, softening=1e-9):
+    """fp64 NumPy reimplementation of upstream mini-nbody's loop:
+    v += dt*F(x); x += dt*v (semi-implicit Euler, velocity first)."""
+    pos = np.asarray(pos, np.float64).copy()
+    vel = np.asarray(vel, np.float64).copy()
+    for _ in range(steps):
+        d = pos[None, :, :] - pos[:, None, :]
+        r2 = (d * d).sum(-1) + softening
+        f = (d * (r2 ** -1.5)[:, :, None]).sum(1)
+        vel += dt * f
+        pos += dt * vel
+    return pos, vel
+
+
+def test_euler_matches_numpy_reference():
+    # Config 1 of BASELINE.json (scaled down): uniform cloud, dt=0.01, Euler.
+    state = init.uniform_random(jax.random.key(7), 128)
+    cfg = SimConfig(n=128, dt=0.01, steps=10, backend="jnp")
+    out = simulate(cfg, state)
+    pos64, vel64 = _np_reference_sim(state.pos, state.vel, 0.01, 10)
+    np.testing.assert_allclose(np.asarray(out.pos), pos64, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.vel), vel64, rtol=5e-3, atol=5e-4)
+
+
+def test_momentum_conserved():
+    state = init.plummer(jax.random.key(3), 256)
+    cfg = SimConfig(n=256, dt=1e-3, steps=50, integrator="leapfrog",
+                    softening=1e-2, backend="jnp")
+    p0 = np.asarray(diag.momentum(state))
+    out = simulate(cfg, state)
+    p1 = np.asarray(diag.momentum(out))
+    # Pairwise-antisymmetric forces: total momentum is conserved to fp32 noise.
+    assert np.abs(p1 - p0).max() < 1e-4
+
+
+def test_leapfrog_energy_drift_beats_euler():
+    state = init.plummer(jax.random.key(5), 128)
+    soft = 1e-2
+    e0 = float(diag.total_energy(state, soft))
+    drifts = {}
+    for integ in ("euler", "leapfrog"):
+        cfg = SimConfig(n=128, dt=1e-3, steps=200, integrator=integ,
+                        softening=soft, backend="jnp")
+        out = simulate(cfg, state)
+        e1 = float(diag.total_energy(out, soft))
+        drifts[integ] = abs(e1 - e0) / abs(e0)
+    assert drifts["leapfrog"] < 1e-3
+    assert drifts["leapfrog"] <= drifts["euler"] * 2.0  # usually far smaller
+
+
+def test_leapfrog_time_reversible():
+    # Integrate forward, flip velocities, integrate back: recover the start.
+    state = init.plummer(jax.random.key(11), 64)
+    cfg = SimConfig(n=64, dt=1e-3, steps=100, integrator="leapfrog",
+                    softening=1e-2, backend="jnp")
+    fwd = simulate(cfg, state)
+    flipped = BodyState(pos=fwd.pos, vel=-fwd.vel, mass=fwd.mass)
+    back = simulate(cfg, flipped)
+    np.testing.assert_allclose(
+        np.asarray(back.pos), np.asarray(state.pos), atol=5e-4
+    )
+
+
+def test_trajectory_snapshots():
+    state = init.uniform_random(jax.random.key(0), 32)
+    cfg = SimConfig(n=32, steps=8, backend="jnp")
+    final, hist = trajectory(cfg, state, steps=8, save_every=2)
+    assert hist.shape == (4, 32, 3)
+    np.testing.assert_allclose(np.asarray(hist[-1]), np.asarray(final.pos))
+
+
+def test_step_fn_is_jittable_and_pure():
+    state = init.uniform_random(jax.random.key(1), 64)
+    cfg = SimConfig(n=64, backend="jnp")
+    step = jax.jit(make_step_fn(cfg))
+    carry = init_carry(cfg, state)
+    s1, _ = step(carry)
+    s2, _ = step(carry)
+    np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
