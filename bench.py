@@ -25,7 +25,7 @@ def main():
 
     from mini_nbody_tpu import SimConfig, init
     from mini_nbody_tpu.sim import make_step_fn
-    from mini_nbody_tpu.utils.harness import Throughput, time_fn
+    from mini_nbody_tpu.utils.harness import Throughput, time_step_fn
 
     cfg = SimConfig(
         n=n, dt=0.01, backend=backend, integrator="euler",
@@ -33,9 +33,9 @@ def main():
     )
     state = init.uniform_random(jax.random.key(0), n)
     acc = jax.numpy.zeros_like(state.pos)
-    step = jax.jit(make_step_fn(cfg))
+    step = make_step_fn(cfg)
 
-    sec = time_fn(step, (state, acc), reps=reps, warmup=1)
+    sec = time_step_fn(step, (state, acc), n=n, reps=reps)
     t = Throughput(n=n, steps=1, seconds=sec, n_devices=1)
 
     print(

@@ -1,0 +1,229 @@
+"""Command-line harness.
+
+The TPU-native replacement for the reference system's host driver (the
+unmounted ARM PS software that wrote bodies into the shared RAM, set the
+begin bit, polled for completion and read the kilocycle counter,
+``src/top_level.vhd:184-186,255-263``; SURVEY.md §3.1):
+
+  run    — integrate a system for S steps (optionally checkpointing)
+  bench  — time the step loop, report GInteractions/s + roofline
+  shmoo  — scaling sweep over N, CSV/JSONL out (upstream shmoo analog)
+  check  — numerics gate: force error vs fp64 oracle, energy drift,
+           momentum conservation (the value-checking the reference's
+           testbenches never did, sim/tb_dxy.vhd:899-923)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--n", type=int, default=4096, help="number of bodies")
+    p.add_argument("--dt", type=float, default=0.01)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--softening", type=float, default=1e-9)
+    p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler")
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas", "mxu"],
+                   default="auto")
+    p.add_argument("--pair-dtype", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--tile-i", type=int, default=512)
+    p.add_argument("--tile-j", type=int, default=2048)
+    p.add_argument("--init", choices=["uniform", "plummer", "cold_sphere"],
+                   default="uniform")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard bodies over this many devices (0 = single)")
+    p.add_argument("--comm", choices=["all_gather", "ring"], default="ring")
+
+
+def _build(args):
+    from mini_nbody_tpu.utils.config import SimConfig
+
+    return SimConfig(
+        n=args.n, dt=args.dt, steps=args.steps, softening=args.softening,
+        integrator=args.integrator, backend=args.backend,
+        pair_dtype=args.pair_dtype, tile_i=args.tile_i, tile_j=args.tile_j,
+        comm=args.comm,
+        mesh_shape=(args.devices,) if args.devices else None,
+    )
+
+
+def _state(args, cfg):
+    import jax
+    from mini_nbody_tpu.models import init as minit
+
+    return minit.make(args.init, jax.random.key(args.seed), cfg.n)
+
+
+def cmd_run(args):
+    import jax
+    from mini_nbody_tpu.sim import simulate
+    from mini_nbody_tpu.ops import diagnostics as diag
+    from mini_nbody_tpu.utils import checkpoint as ckpt
+
+    cfg = _build(args)
+    if args.resume:
+        state, start_step, cfg_dict = ckpt.load(args.resume)
+        print(f"resumed from {args.resume} at step {start_step}", file=sys.stderr)
+    else:
+        state, start_step = _state(args, cfg), 0
+
+    t0 = time.perf_counter()
+    if cfg.mesh_shape:
+        from mini_nbody_tpu.parallel import make_mesh, simulate_sharded
+
+        mesh = make_mesh(cfg.mesh_shape[0])
+        out = simulate_sharded(cfg, mesh, state)
+    else:
+        out = simulate(cfg, state)
+    jax.block_until_ready(out.pos)
+    wall = time.perf_counter() - t0
+
+    report = {
+        "n": cfg.n, "steps": cfg.steps, "wall_s": round(wall, 3),
+        "momentum": [float(x) for x in np.asarray(diag.momentum(out))],
+    }
+    if args.energy:
+        report["energy"] = float(diag.total_energy(out, cfg.softening))
+    if args.save:
+        ckpt.save(args.save, out, step=start_step + cfg.steps, cfg=cfg)
+        report["checkpoint"] = args.save
+    print(json.dumps(report))
+
+
+def cmd_bench(args):
+    import jax
+    import jax.numpy as jnp
+    from mini_nbody_tpu.sim import make_step_fn
+    from mini_nbody_tpu.utils.harness import Throughput, time_step_fn
+
+    cfg = _build(args)
+    state = _state(args, cfg)
+    if cfg.mesh_shape:
+        from mini_nbody_tpu.parallel import make_mesh, shard_state
+        from mini_nbody_tpu.parallel.sharded import (
+            init_sharded_carry, make_sharded_step_fn)
+
+        mesh = make_mesh(cfg.mesh_shape[0])
+        state = shard_state(state, mesh)
+        step = make_sharded_step_fn(cfg, mesh)
+        carry = init_sharded_carry(cfg, mesh, state)
+        ndev = cfg.mesh_shape[0]
+    else:
+        step = make_step_fn(cfg)
+        carry = (state, jnp.zeros_like(state.pos))
+        ndev = 1
+    sec = time_step_fn(step, carry, n=cfg.n, reps=args.reps)
+    t = Throughput(n=cfg.n, steps=1, seconds=sec, n_devices=ndev)
+    path = "mxu" if cfg.resolve_backend() == "mxu" else "vpu"
+    print(json.dumps({
+        "device": jax.devices()[0].device_kind,
+        "backend": cfg.resolve_backend(),
+        "pair_dtype": cfg.pair_dtype,
+        **t.report(path=path),
+    }))
+
+
+def cmd_shmoo(args):
+    from mini_nbody_tpu.utils import shmoo
+
+    cfg = _build(args)
+    ns = [int(x) for x in args.sizes.split(",")]
+    mesh = None
+    if cfg.mesh_shape:
+        from mini_nbody_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cfg.mesh_shape[0])
+    rows = shmoo.sweep(cfg, ns, reps=args.reps, mesh=mesh)
+    out = shmoo.to_csv(rows) if args.format == "csv" else shmoo.to_jsonl(rows)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+        print(f"wrote {args.out}", file=sys.stderr)
+    else:
+        print(out)
+
+
+def cmd_check(args):
+    import jax
+    from mini_nbody_tpu.ops.force import make_force_fn
+    from mini_nbody_tpu.ops import diagnostics as diag
+    from mini_nbody_tpu.sim import simulate
+
+    cfg = _build(args)
+    state = _state(args, cfg)
+
+    # 1. Force error vs fp64 NumPy oracle (on a capped subset for memory).
+    n_chk = min(cfg.n, 8192)
+    pos = np.asarray(state.pos[:n_chk], np.float64)
+    mass = np.asarray(state.mass[:n_chk], np.float64)
+    d = pos[None, :, :] - pos[:, None, :]
+    r2 = (d * d).sum(-1) + cfg.softening
+    f64 = (d * ((r2 ** -1.5) * mass[None, :])[:, :, None]).sum(1)
+    force = make_force_fn(cfg)
+    f = np.asarray(force(state.pos[:n_chk], state.pos[:n_chk], state.mass[:n_chk]))
+    scale = np.abs(f64).max()
+    ferr = np.abs(f - f64).max() / scale
+
+    # 2. Conservation over the run.
+    e0 = float(diag.total_energy(state, cfg.softening)) if cfg.n <= 65536 else None
+    p0 = np.asarray(diag.momentum(state))
+    out = simulate(cfg, state)
+    p1 = np.asarray(diag.momentum(out))
+    report = {
+        "force_max_rel_err": float(ferr),
+        "momentum_drift": float(np.abs(p1 - p0).max()),
+    }
+    if e0 is not None:
+        e1 = float(diag.total_energy(out, cfg.softening))
+        report["energy_drift"] = abs(e1 - e0) / abs(e0)
+    ok = ferr < args.force_tol
+    report["ok"] = bool(ok)
+    print(json.dumps(report))
+    sys.exit(0 if ok else 1)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="nbody-tpu", description="TPU-native N-body engine"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="integrate a system")
+    _add_common(p)
+    p.add_argument("--save", help="checkpoint path (npz)")
+    p.add_argument("--resume", help="resume from checkpoint")
+    p.add_argument("--energy", action="store_true", help="report total energy")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("bench", help="time the step loop")
+    _add_common(p)
+    p.add_argument("--reps", type=int, default=3)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("shmoo", help="scaling sweep over N")
+    _add_common(p)
+    p.add_argument("--sizes", default="1024,4096,16384,65536,262144")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--format", choices=["csv", "jsonl"], default="csv")
+    p.add_argument("--out", help="output file (default stdout)")
+    p.set_defaults(fn=cmd_shmoo)
+
+    p = sub.add_parser("check", help="numerics gate vs fp64 oracle")
+    _add_common(p)
+    p.add_argument("--force-tol", type=float, default=1e-4)
+    p.set_defaults(fn=cmd_check)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,11 @@ def body_force(
     interpret: bool = False,
     pair_dtype=jnp.float32,
 ):
-    """Forces on pos_i (Ni,3) from sources (pos_j, mass_j). Returns (Ni,3) fp32."""
+    """Forces on pos_i (Ni,3) from sources (pos_j, mass_j). Returns (Ni,3) fp32.
+
+    All backends handle self/coincident pairs exactly (zero contribution) by
+    construction, so rectangular and sharded calls need no extra flags.
+    """
     if backend == "jnp":
         # Bound the (Ni, Nj) intermediate for big problems.
         chunk = None

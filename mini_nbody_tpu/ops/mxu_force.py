@@ -1,0 +1,183 @@
+"""MXU-hybrid force kernel: route the O(N^2) force accumulation through the
+128x128 systolic array while keeping the pair-distance math exact fp32 on the
+VPU.
+
+Why: the direct kernel (pallas_force.py) is VPU-bound at ~23 VPU-op
+equivalents per interaction (measured on v5e). The accumulation identity
+
+    F_i = sum_j w_ij (p_j - p_i)
+        = (W @ [p_j | 1])[:, :3] - p_i * (W @ [p_j | 1])[:, 3]
+
+moves the 3 multiply+lane-reduce pairs (~5 VPU ops/pair) into one
+(TI,TJ)x(TJ,4) matmul on the MXU. Distances r2 stay in the direct
+(d.d + eps) form — full fp32 relative accuracy, unlike the gram-matrix form
+(|pi|^2+|pj|^2-2pi.pj) whose absolute ~ulp(|p|^2) error wrecks close pairs.
+(A full bf16 gram variant was measured Pareto-dominated on both speed
+[135 vs 239 GInter/s] and accuracy [5e-2 vs 2e-3 median] and removed.)
+
+Accumulation precision (per BASELINE.json config 3, "bf16-pair /
+fp32-accumulate"):
+  * pair_dtype=bfloat16 -> MXU DEFAULT: single-pass bf16 operands, fp32
+    accumulator. ~239 GInter/s at N=262k on v5e (vs 172 direct). Per-body
+    force error: median ~3e-3, tail up to ~0.5 on the very closest pairs
+    (bf16 rounding of the dominant w term survives the epilogue
+    cancellation). The throughput mode.
+  * pair_dtype=float32 -> MXU HIGHEST: true fp32 contract; error ~6e-6 but
+    the fp32 MXU passes make it slower than the direct kernel (~117 GInter/s)
+    — provided for completeness; prefer backend="pallas" for fp32.
+
+Self/coincident pairs: their true contribution is zero, but their huge
+w = eps^-1.5 would swamp the fp32 accumulator (the ulp(w*|p|) residue
+survives the epilogue subtraction — measured 3e6 relative error without the
+mask). r2 == eps exactly iff d == 0, so a single jnp.where restores exact
+semantics (the reference computes-not-skips j==i for the same zero result,
+SURVEY.md §0).
+
+Structure mirrors the reference datapath like pallas_force.py: i-tile
+resident (``src/top_level.vhd:83``), j-blocks streamed
+(``src/top_level.vhd:233-254``), accumulator carried across the j grid
+(the rotating-partial-sum analog, ``src/fxyz.vhd:80-87``). Tail masking uses
+far-padding: padded bodies sit at 1e18 so w underflows to exactly 0 — the
+WRITE_MASK analog (``src/top_level.vhd:201-205``) with no mask multiply.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mini_nbody_tpu.utils.config import SOFTENING, round_up
+
+_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
+    pltpu, "TPUCompilerParams"
+)
+
+#: Far-padding coordinate: distance^2 ~ 3e36 stays finite in fp32 while
+#: rsqrt(r2)^3 ~ 1e-55 underflows to zero — padded bodies are exactly inert.
+FAR = 1.0e18
+
+
+def _hybrid_kernel(pi_ref, pjt_ref, vj_ref, out_ref, acc_ref, *, softening,
+                   nj_steps, unit_mass, acc_precision):
+    """Direct fp32 r2 on VPU; accumulation matmul on MXU."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pi = pi_ref[:]  # (TI, 3)
+    xi, yi, zi = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
+    dx = pjt_ref[0:1, :] - xi  # (TI, TJ)
+    dy = pjt_ref[1:2, :] - yi
+    dz = pjt_ref[2:3, :] - zi
+    soft = jnp.asarray(softening, dx.dtype)
+    r2 = dx * dx + dy * dy + (dz * dz + soft)
+    inv = jax.lax.rsqrt(r2)
+    w = (inv * inv) * inv
+    # Exact-coincidence mask — see module docstring. r2 == soft iff d == 0.
+    w = jnp.where(r2 == soft, jnp.asarray(0.0, w.dtype), w)
+    if not unit_mass:
+        w = w * pjt_ref[3:4, :]
+
+    # (TI,TJ) @ (TJ,4) = [sum w*pj | sum w] on the MXU.
+    s = jax.lax.dot_general(
+        w, vj_ref[:],
+        (((1,), (0,)), ((), ())),
+        precision=acc_precision,
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += s
+
+    @pl.when(j == nj_steps - 1)
+    def _epilogue():
+        s_tot = acc_ref[:]
+        out_ref[:] = s_tot[:, 0:3] - pi * s_tot[:, 3:4]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile_i", "tile_j", "interpret", "pair_dtype"),
+)
+def body_force_mxu(
+    pos_i,
+    pos_j,
+    mass_j=None,
+    softening: float = SOFTENING,
+    tile_i: int = 512,
+    tile_j: int = 2048,
+    interpret: bool = False,
+    pair_dtype=jnp.bfloat16,
+):
+    """Forces on pos_i (Ni,3) from (pos_j, mass_j) via the MXU-hybrid kernel.
+
+    pair_dtype selects the MXU accumulation operand precision: bfloat16 =
+    single-pass (fast, throughput mode), float32 = exact fp32 contract (slow;
+    prefer the direct kernel). Distances are always exact fp32.
+    """
+    ni_n, nj_n = pos_i.shape[0], pos_j.shape[0]
+    unit_mass = mass_j is None
+
+    pos_i = pos_i.astype(jnp.float32)
+    pos_j = pos_j.astype(jnp.float32)
+
+    tile_i = min(tile_i, round_up(ni_n, 8))
+    tile_j = min(tile_j, round_up(nj_n, 128))
+    ni_p = round_up(ni_n, tile_i)
+    nj_p = round_up(nj_n, tile_j)
+
+    if ni_p != ni_n:
+        pos_i = jnp.pad(pos_i, ((0, ni_p - ni_n), (0, 0)))
+    if nj_p != nj_n:
+        # Far-padding: rsqrt(r2)^3 underflows to 0, so padded j are inert.
+        pos_j = jnp.pad(pos_j, ((0, nj_p - nj_n), (0, 0)), constant_values=FAR)
+        if not unit_mass:
+            mass_j = jnp.pad(mass_j.astype(jnp.float32), (0, nj_p - nj_n))
+
+    grid = (ni_p // tile_i, nj_p // tile_j)
+    pairs = ni_p * nj_p
+    acc_precision = (
+        jax.lax.Precision.DEFAULT
+        if jnp.dtype(pair_dtype) == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    vj = jnp.concatenate([pos_j, jnp.ones((nj_p, 1), jnp.float32)], axis=1)
+    pjt_rows = [pos_j.T] if unit_mass else [pos_j.T, mass_j[None, :]]
+    pjt = jnp.concatenate(pjt_rows, axis=0)  # (3 or 4, Nj)
+
+    kernel = functools.partial(
+        _hybrid_kernel, softening=float(softening), nj_steps=grid[1],
+        unit_mass=unit_mass, acc_precision=acc_precision,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pjt.shape[0], tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ni_p, 3), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_i, 4), jnp.float32)],
+        compiler_params=_CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * pairs,
+            bytes_accessed=(ni_p * 3 + nj_p * 8 + ni_p * 3) * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(pos_i, pjt, vj)
+
+    return out[:ni_n]

@@ -69,6 +69,37 @@ def time_fn(fn: Callable, *args, reps: int = 3, warmup: int = 1) -> float:
     return float(np.median(times))
 
 
+def auto_inner(n: int, target_pairs: float = 1.2e11, cap: int = 64) -> int:
+    """Steps per timed sync so fixed dispatch overhead (~33 ms through the
+    axon tunnel) amortizes away: aim for ~target_pairs interactions/sync
+    (~0.5-1 s of kernel time per sync on v5e)."""
+    return max(1, min(cap, int(target_pairs // (float(n) * n) or 1)))
+
+
+def time_step_fn(step: Callable, carry, n: int, reps: int = 3,
+                 inner: int | None = None) -> float:
+    """Seconds per step of `step((state, acc)) -> (state, acc)`, measured as a
+    jitted lax.scan of `inner` steps per sync (overhead amortized)."""
+    import jax
+
+    if inner is None:
+        inner = auto_inner(n)
+    if inner == 1:
+        # Skip the scan wrapper: at this size the 33 ms sync overhead is
+        # already negligible and the scan only slows compilation.
+        return time_fn(jax.jit(step), carry, reps=reps, warmup=1)
+
+    @jax.jit
+    def multi(c):
+        def body(c2, _):
+            return step(c2), None
+
+        c2, _ = jax.lax.scan(body, c, None, length=inner)
+        return c2
+
+    return time_fn(multi, carry, reps=reps, warmup=1) / inner
+
+
 @dataclass
 class Throughput:
     n: int

@@ -1,0 +1,56 @@
+"""MXU-hybrid kernel vs oracle (interpret mode on CPU; structure-level checks).
+
+Interpret mode runs the accumulation dot in CPU fp32, so these tests validate
+kernel structure (identity-form accumulation, self-pair masking, far-padding)
+rather than TPU bf16 rounding. Real-TPU accuracy envelopes are documented in
+ops/mxu_force.py and exercised by the /verify drive.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_nbody_tpu.models import init
+from mini_nbody_tpu.ops.mxu_force import body_force_mxu
+from mini_nbody_tpu.ops.reference import body_force_jnp
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def _check(pos_i, pos_j, mass_j=None, rtol=2e-3, **kw):
+    f = body_force_mxu(pos_i, pos_j, mass_j, interpret=INTERP,
+                       tile_i=64, tile_j=128, **kw)
+    ref = body_force_jnp(pos_i, pos_j, mass_j, softening=kw.get("softening", 1e-9))
+    f, ref = np.asarray(f), np.asarray(ref)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(f, ref, rtol=rtol, atol=rtol * scale)
+
+
+def test_square_with_self_pairs():
+    # Self-pair masking (w swamping the accumulator) is the key regression:
+    # without it, errors were ~3e6 relative.
+    s = init.uniform_random(jax.random.key(0), 192)
+    _check(s.pos, s.pos)
+
+
+def test_tail_far_padding():
+    s = init.uniform_random(jax.random.key(1), 100)  # pads 100 -> 128
+    _check(s.pos, s.pos)
+
+
+def test_masses_and_rectangular(rng):
+    pos_i = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    pos_j = jnp.asarray(rng.uniform(-1, 1, (256, 3)), jnp.float32)
+    m_j = jnp.asarray(rng.uniform(0.5, 2.0, 256), jnp.float32)
+    _check(pos_i, pos_j, m_j)
+
+
+def test_coincident_bodies_inert():
+    pos = jnp.zeros((64, 3), jnp.float32)
+    f = body_force_mxu(pos, pos, interpret=INTERP, tile_i=64, tile_j=128)
+    np.testing.assert_array_equal(np.asarray(f), 0.0)
+
+
+def test_f32_exact_contract_mode():
+    s = init.uniform_random(jax.random.key(2), 128)
+    _check(s.pos, s.pos, pair_dtype=jnp.float32, rtol=1e-4)
