@@ -160,13 +160,23 @@ def cmd_check(args):
     cfg = _build(args)
     state = _state(args, cfg)
 
-    # 1. Force error vs fp64 NumPy oracle (on a capped subset for memory).
-    n_chk = min(cfg.n, 8192)
-    pos = np.asarray(state.pos[:n_chk], np.float64)
-    mass = np.asarray(state.mass[:n_chk], np.float64)
-    d = pos[None, :, :] - pos[:, None, :]
-    r2 = (d * d).sum(-1) + cfg.softening
-    f64 = (d * ((r2 ** -1.5) * mass[None, :])[:, :, None]).sum(1)
+    # 1. Force error vs the fp64 oracle — the native C++/OpenMP one when it
+    # builds (handles large N), the NumPy one otherwise (capped subset).
+    from mini_nbody_tpu import native
+
+    if native.available():
+        n_chk = min(cfg.n, 131072)
+        f64 = native.body_force_oracle(
+            np.asarray(state.pos[:n_chk]), np.asarray(state.pos[:n_chk]),
+            np.asarray(state.mass[:n_chk]), softening=cfg.softening,
+        )
+    else:
+        n_chk = min(cfg.n, 8192)
+        pos = np.asarray(state.pos[:n_chk], np.float64)
+        mass = np.asarray(state.mass[:n_chk], np.float64)
+        d = pos[None, :, :] - pos[:, None, :]
+        r2 = (d * d).sum(-1) + cfg.softening
+        f64 = (d * ((r2 ** -1.5) * mass[None, :])[:, :, None]).sum(1)
     force = make_force_fn(cfg)
     f = np.asarray(force(state.pos[:n_chk], state.pos[:n_chk], state.mass[:n_chk]))
     scale = np.abs(f64).max()

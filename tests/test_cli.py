@@ -1,0 +1,44 @@
+"""CLI surface smoke tests (in-process, jnp backend, CPU)."""
+
+import json
+
+import pytest
+
+from mini_nbody_tpu import cli
+
+
+def _run(capsys, argv):
+    cli.main(argv)
+    return capsys.readouterr().out.strip()
+
+
+def test_run_save_resume(tmp_path, capsys):
+    ck = str(tmp_path / "ck.npz")
+    out = _run(capsys, ["run", "--n", "128", "--steps", "3", "--backend", "jnp",
+                        "--save", ck, "--energy"])
+    rep = json.loads(out)
+    assert rep["steps"] == 3 and rep["checkpoint"] == ck and "energy" in rep
+    out = _run(capsys, ["run", "--n", "128", "--steps", "2", "--backend", "jnp",
+                        "--resume", ck])
+    assert json.loads(out)["n"] == 128
+
+
+def test_check_gate_passes(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli.main(["check", "--n", "256", "--steps", "2", "--backend", "jnp"])
+    assert e.value.code == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["ok"] and rep["force_max_rel_err"] < 1e-4
+
+
+def test_shmoo_jsonl(capsys):
+    out = _run(capsys, ["shmoo", "--sizes", "128,256", "--backend", "jnp",
+                        "--reps", "1", "--format", "jsonl"])
+    rows = [json.loads(l) for l in out.splitlines()]
+    assert [r["n"] for r in rows] == [128, 256]
+
+
+def test_bench_reports(capsys):
+    out = _run(capsys, ["bench", "--n", "256", "--backend", "jnp", "--reps", "1"])
+    rep = json.loads(out)
+    assert rep["backend"] == "jnp" and rep["ginteractions_per_s"] > 0

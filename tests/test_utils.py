@@ -1,0 +1,73 @@
+"""Utils: config validation, checkpoint roundtrip, shmoo formatting, metrics."""
+
+import jax
+import numpy as np
+import pytest
+
+from mini_nbody_tpu import SimConfig
+from mini_nbody_tpu.models import init
+from mini_nbody_tpu.utils import checkpoint as ckpt
+from mini_nbody_tpu.utils import shmoo
+from mini_nbody_tpu.utils.config import ceil_log2, round_up
+from mini_nbody_tpu.utils.harness import Throughput, auto_inner
+from mini_nbody_tpu.utils.tracing import StepMetrics
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        SimConfig(n=0)
+    with pytest.raises(ValueError):
+        SimConfig(n=16, backend="cuda")
+    with pytest.raises(ValueError):
+        SimConfig(n=16, tile_j=100)
+    with pytest.raises(ValueError):
+        SimConfig(n=16, integrator="rk4")
+    cfg = SimConfig(n=16)
+    assert cfg.replace(steps=5).steps == 5
+    assert hash(cfg) == hash(SimConfig(n=16))  # usable as jit static arg
+
+
+def test_helpers():
+    assert ceil_log2(1) == 0 and ceil_log2(16) == 4 and ceil_log2(17) == 5
+    assert round_up(100, 128) == 128 and round_up(256, 128) == 256
+    assert auto_inner(1 << 20) == 1
+    assert auto_inner(1024) == 64
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = init.uniform_random(jax.random.key(0), 64)
+    cfg = SimConfig(n=64, steps=7)
+    path = tmp_path / "ck.npz"
+    ckpt.save(path, state, step=42, cfg=cfg)
+    s2, step, cfg_dict = ckpt.load(path)
+    assert step == 42
+    np.testing.assert_array_equal(np.asarray(s2.pos), np.asarray(state.pos))
+    np.testing.assert_array_equal(np.asarray(s2.vel), np.asarray(state.vel))
+    restored = ckpt.restore_config(cfg_dict)
+    assert restored == cfg
+
+
+def test_shmoo_rows_and_csv():
+    cfg = SimConfig(n=256, backend="jnp")
+    rows = shmoo.sweep(cfg, [256, 512], reps=1)
+    assert [r["n"] for r in rows] == [256, 512]
+    csv_text = shmoo.to_csv(rows)
+    assert csv_text.splitlines()[0].startswith("n,backend,")
+    assert len(csv_text.splitlines()) == 3
+    assert all(r["ginteractions_per_s"] > 0 for r in rows)
+
+
+def test_throughput_math():
+    t = Throughput(n=1000, steps=2, seconds=1.0, n_devices=2)
+    assert t.interactions == 2e6
+    assert t.ginteractions_per_s_per_device == pytest.approx(1e-3)
+    rep = t.report()
+    assert set(["n", "seconds", "ginteractions_per_s", "roofline_frac"]) <= set(rep)
+
+
+def test_step_metrics():
+    m = StepMetrics(n=1000).start()
+    row = m.tick(10, energy=-1.0)
+    assert row["step"] == 10 and row["energy"] == -1.0
+    m.tick(5)
+    assert "\n" in m.jsonl()
