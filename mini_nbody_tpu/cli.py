@@ -52,6 +52,9 @@ def _build(args):
         pair_dtype=args.pair_dtype, tile_i=args.tile_i, tile_j=args.tile_j,
         comm=args.comm,
         mesh_shape=(args.devices,) if args.devices else None,
+        # uniform init has unit masses (reference semantics -> fast path);
+        # plummer/cold_sphere carry per-body masses.
+        use_masses=args.init != "uniform",
     )
 
 

@@ -17,6 +17,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from mini_nbody_tpu.utils.config import FAR
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -58,16 +60,20 @@ class BodyState:
             raise ValueError(f"bad mass shape {mass.shape} for N={pos.shape[0]}")
         return BodyState(pos=pos, vel=vel, mass=mass)
 
-    def pad_to(self, n_pad: int) -> "BodyState":
-        """Zero-pad to n_pad bodies; padded bodies have mass 0 (inert)."""
+    def pad_to(self, n_pad: int, far: bool = False) -> "BodyState":
+        """Pad to n_pad bodies. Padded bodies have mass 0 (inert under
+        mass-weighted kernels); with far=True they also sit at FAR so the
+        unit-mass kernel fast paths leave them inert (w underflows to 0)."""
         n = self.n
         if n_pad < n:
             raise ValueError(f"cannot pad {n} bodies down to {n_pad}")
         if n_pad == n:
             return self
         extra = n_pad - n
+        pos_fill = FAR if far else 0.0
         return BodyState(
-            pos=jnp.concatenate([self.pos, jnp.zeros((extra, 3), self.pos.dtype)]),
+            pos=jnp.concatenate(
+                [self.pos, jnp.full((extra, 3), pos_fill, self.pos.dtype)]),
             vel=jnp.concatenate([self.vel, jnp.zeros((extra, 3), self.vel.dtype)]),
             mass=jnp.concatenate([self.mass, jnp.zeros((extra,), self.mass.dtype)]),
         )

@@ -61,6 +61,8 @@ def make_force_fn(cfg: SimConfig):
     pair_dtype = jnp.bfloat16 if cfg.pair_dtype == "bfloat16" else jnp.float32
 
     def force(pos_i, pos_j, mass_j=None):
+        if not cfg.use_masses:
+            mass_j = None  # unit masses: kernels take the mass-free fast path
         return body_force(
             pos_i, pos_j, mass_j,
             softening=cfg.softening, backend=backend,

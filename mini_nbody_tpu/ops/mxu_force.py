@@ -50,15 +50,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mini_nbody_tpu.utils.config import SOFTENING, round_up
+from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
 
 _CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
     pltpu, "TPUCompilerParams"
 )
-
-#: Far-padding coordinate: distance^2 ~ 3e36 stays finite in fp32 while
-#: rsqrt(r2)^3 ~ 1e-55 underflows to zero — padded bodies are exactly inert.
-FAR = 1.0e18
 
 
 def _hybrid_kernel(pi_ref, pjt_ref, vj_ref, out_ref, acc_ref, *, softening,

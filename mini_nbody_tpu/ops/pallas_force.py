@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mini_nbody_tpu.utils.config import SOFTENING, round_up
+from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
 
 # Pallas TPU compiler-params class was renamed across JAX versions.
 _CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
@@ -40,8 +40,17 @@ _CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
 )
 
 
-def _direct_kernel(pi_ref, pjt_ref, mj_ref, out_ref, *, softening, acc_steps):
-    """One (i-tile, j-block) grid step of the direct VPU force kernel."""
+def _direct_kernel(pi_ref, pjt_ref, out_ref, *, softening, acc_steps,
+                   unit_mass, fast_rsqrt_cube):
+    """One (i-tile, j-block) grid step of the direct VPU force kernel.
+
+    unit_mass: skip the mass multiply (reference semantics; tails handled by
+      far-padding, whose w underflows to exactly 0).
+    fast_rsqrt_cube: compute w = rsqrt(r2^3) instead of rsqrt(r2)^3 — one VPU
+      op cheaper, +3% measured, max 1e-7 relative delta; valid while
+      softening^3 stays normal (softening >= ~1e-12) and overflow of r2^3 is
+      benign (rsqrt(inf) = 0, exactly what far-padding wants).
+    """
     j = pl.program_id(1)
 
     pi = pi_ref[:]  # (TI, 3)
@@ -49,14 +58,18 @@ def _direct_kernel(pi_ref, pjt_ref, mj_ref, out_ref, *, softening, acc_steps):
     xj = pjt_ref[0:1, :]  # (1, TJ)
     yj = pjt_ref[1:2, :]
     zj = pjt_ref[2:3, :]
-    mj = mj_ref[0:1, :]
 
     dx = xj - xi  # (TI, TJ) broadcast
     dy = yj - yi
     dz = zj - zi
     r2 = dx * dx + dy * dy + (dz * dz + jnp.asarray(softening, dx.dtype))
-    inv = jax.lax.rsqrt(r2)
-    w = (inv * inv) * (inv * mj)
+    if fast_rsqrt_cube:
+        w = jax.lax.rsqrt((r2 * r2) * r2)
+    else:
+        inv = jax.lax.rsqrt(r2)
+        w = (inv * inv) * inv
+    if not unit_mass:
+        w = w * pjt_ref[3:4, :]
 
     fx = jnp.sum(dx * w, axis=1, keepdims=True)  # (TI, 1)
     fy = jnp.sum(dy * w, axis=1, keepdims=True)
@@ -84,8 +97,8 @@ def body_force_pallas(
     pos_j,
     mass_j=None,
     softening: float = SOFTENING,
-    tile_i: int = 256,
-    tile_j: int = 1024,
+    tile_i: int = 512,
+    tile_j: int = 2048,
     interpret: bool = False,
 ):
     """Forces on pos_i (Ni,3) due to sources pos_j (Nj,3) with masses mass_j.
@@ -94,13 +107,11 @@ def body_force_pallas(
     sharded use (local i-shard vs gathered/ring-passed j-shard). fp32 in/out.
     """
     ni, nj = pos_i.shape[0], pos_j.shape[0]
-    if mass_j is None:
-        mass_j = jnp.ones((nj,), pos_j.dtype)
+    unit_mass = mass_j is None
 
     dtype = jnp.float32
     pos_i = pos_i.astype(dtype)
     pos_j = pos_j.astype(dtype)
-    mass_j = mass_j.astype(dtype)
 
     tile_i = min(tile_i, round_up(ni, 8))
     tile_j = min(tile_j, round_up(nj, 128))
@@ -110,17 +121,30 @@ def body_force_pallas(
     if ni_p != ni:
         pos_i = jnp.pad(pos_i, ((0, ni_p - ni), (0, 0)))
     if nj_p != nj:
-        pos_j = jnp.pad(pos_j, ((0, nj_p - nj), (0, 0)))
-        mass_j = jnp.pad(mass_j, (0, nj_p - nj))  # zero mass => inert
+        if unit_mass:
+            # Far-padding: w underflows to exactly 0 for padded bodies (the
+            # WRITE_MASK analog, src/top_level.vhd:201-205, for free).
+            pos_j = jnp.pad(pos_j, ((0, nj_p - nj), (0, 0)),
+                            constant_values=FAR)
+        else:
+            pos_j = jnp.pad(pos_j, ((0, nj_p - nj), (0, 0)))
+            mass_j = jnp.pad(mass_j.astype(dtype), (0, nj_p - nj))
 
-    pjt = pos_j.T  # (3, Nj_p): j coords along lanes
-    mj = mass_j[None, :]  # (1, Nj_p)
+    # j data transposed: coords (and mass, if any) along lanes.
+    pjt_rows = [pos_j.T]
+    if not unit_mass:
+        pjt_rows.append(mass_j.astype(dtype)[None, :])
+    pjt = jnp.concatenate(pjt_rows, axis=0) if len(pjt_rows) > 1 else pjt_rows[0]
 
     grid = (ni_p // tile_i, nj_p // tile_j)
     acc_steps = grid[1]
 
+    # rsqrt(r2^3) needs softening^3 to stay a normal fp32.
+    fast_rsqrt_cube = float(softening) >= 1e-12
+
     kernel = functools.partial(
-        _direct_kernel, softening=float(softening), acc_steps=acc_steps
+        _direct_kernel, softening=float(softening), acc_steps=acc_steps,
+        unit_mass=unit_mass, fast_rsqrt_cube=fast_rsqrt_cube,
     )
 
     pairs = ni_p * nj_p
@@ -135,8 +159,8 @@ def body_force_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pjt.shape[0], tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_i, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM
@@ -147,6 +171,6 @@ def body_force_pallas(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(pos_i, pjt, mj)
+    )(pos_i, pjt)
 
     return out[:ni]

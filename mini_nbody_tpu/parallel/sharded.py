@@ -39,10 +39,12 @@ def _state_specs():
     return BodyState(pos=P(BODY_AXIS, None), vel=P(BODY_AXIS, None), mass=P(BODY_AXIS))
 
 
-def shard_state(state: BodyState, mesh: Mesh) -> BodyState:
-    """Pad N to a multiple of the mesh and lay the state out shard-by-"i"."""
+def shard_state(state: BodyState, mesh: Mesh, pad_far: bool = False) -> BodyState:
+    """Pad N to a multiple of the mesh and lay the state out shard-by-"i".
+    pad_far=True places pad bodies at FAR (required for unit-mass configs,
+    whose kernels ignore the zero masses)."""
     p = mesh.shape[BODY_AXIS]
-    state = state.pad_to(round_up(state.n, p))
+    state = state.pad_to(round_up(state.n, p), far=pad_far)
     specs = _state_specs()
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
@@ -136,7 +138,7 @@ def simulate_sharded(cfg: SimConfig, mesh: Mesh, state: BodyState, steps=None):
     state with the original (unpadded) N."""
     n = state.n
     steps = cfg.steps if steps is None else steps
-    state = shard_state(state, mesh)
+    state = shard_state(state, mesh, pad_far=not cfg.use_masses)
     step = make_sharded_step_fn(cfg, mesh)
 
     @partial(jax.jit, static_argnames=("nsteps",))

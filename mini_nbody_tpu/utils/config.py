@@ -22,6 +22,12 @@ SOFTENING = 1.0e-9
 #: Reference step size (upstream mini-nbody default; host-side in the reference).
 DT = 0.01
 
+#: Far-padding coordinate for tail bodies in unit-mass mode: r2 ~ 3e36 stays
+#: finite in fp32 while rsqrt(r2^3) underflows to exactly 0, so padded bodies
+#: are inert without a mass multiply (the WRITE_MASK analog,
+#: ``src/top_level.vhd:201-205``).
+FAR = 1.0e18
+
 _BACKENDS = ("auto", "jnp", "pallas", "mxu")
 _INTEGRATORS = ("euler", "leapfrog")
 _PAIR_DTYPES = ("float32", "bfloat16")
@@ -40,12 +46,13 @@ class SimConfig:
       integrator: "euler" (reference semantics: v += dt*F; x += dt*v) or
         "leapfrog" (KDK, symplectic).
       backend: force-kernel implementation. "auto" picks "pallas" on TPU and
-        "jnp" elsewhere. "mxu" = gram-matrix kernel that routes the O(N^2)
-        FLOPs through the matrix unit.
-      pair_dtype: dtype for the pairwise interaction math. Accumulation is
-        always fp32 (mirrors the reference's fp32 datapath,
-        ``src/top_level.vhd:35-36``; bf16 pairs trade force precision for MXU
-        throughput).
+        "jnp" elsewhere. "mxu" = hybrid kernel that routes the O(N^2) force
+        accumulation through the matrix unit (see ops/mxu_force.py).
+      pair_dtype: precision knob for the mxu backend's accumulation matmul
+        operands ("bfloat16" = single-pass MXU, the throughput mode;
+        "float32" = exact contract). Distances are always exact fp32, and
+        accumulators are always fp32 (the reference datapath is all fp32,
+        ``src/top_level.vhd:35-36``).
       tile_i: i-body block resident in VMEM per kernel invocation (the analog
         of the 12 i-registers, ``src/top_level.vhd:83,206-229`` — scaled up to
         VPU width).
@@ -56,6 +63,10 @@ class SimConfig:
         overlapping each hop with the force compute on the resident shard).
       interpret: force Pallas interpret mode (CPU testing); None = auto
         (interpret unless running on real TPU).
+      use_masses: apply per-body masses from BodyState.mass in the force law.
+        False = unit masses (reference semantics, ``src/fxyz.vhd:120-127``
+        has no mass factor) — enables the kernels' mass-free fast path with
+        far-padded tails.
     """
 
     n: int
@@ -65,11 +76,12 @@ class SimConfig:
     integrator: str = "euler"
     backend: str = "auto"
     pair_dtype: str = "float32"
-    tile_i: int = 256
-    tile_j: int = 1024
+    tile_i: int = 512
+    tile_j: int = 2048
     mesh_shape: Optional[Tuple[int, ...]] = None
     comm: str = "all_gather"
     interpret: Optional[bool] = None
+    use_masses: bool = False
 
     def __post_init__(self):
         if self.n <= 0:

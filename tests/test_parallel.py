@@ -65,7 +65,7 @@ def test_leapfrog_sharded(mesh):
     n = 256
     state = init.plummer(jax.random.key(3), n)
     cfg = SimConfig(n=n, dt=1e-3, steps=10, integrator="leapfrog",
-                    softening=1e-2, backend="jnp", comm="ring")
+                    softening=1e-2, backend="jnp", comm="ring", use_masses=True)
     ref = simulate(cfg, state)
     out = simulate_sharded(cfg, mesh, state)
     np.testing.assert_allclose(

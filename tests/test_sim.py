@@ -39,7 +39,7 @@ def test_euler_matches_numpy_reference():
 def test_momentum_conserved():
     state = init.plummer(jax.random.key(3), 256)
     cfg = SimConfig(n=256, dt=1e-3, steps=50, integrator="leapfrog",
-                    softening=1e-2, backend="jnp")
+                    softening=1e-2, backend="jnp", use_masses=True)
     p0 = np.asarray(diag.momentum(state))
     out = simulate(cfg, state)
     p1 = np.asarray(diag.momentum(out))
@@ -54,7 +54,7 @@ def test_leapfrog_energy_drift_beats_euler():
     drifts = {}
     for integ in ("euler", "leapfrog"):
         cfg = SimConfig(n=128, dt=1e-3, steps=200, integrator=integ,
-                        softening=soft, backend="jnp")
+                        softening=soft, backend="jnp", use_masses=True)
         out = simulate(cfg, state)
         e1 = float(diag.total_energy(out, soft))
         drifts[integ] = abs(e1 - e0) / abs(e0)
@@ -66,7 +66,7 @@ def test_leapfrog_time_reversible():
     # Integrate forward, flip velocities, integrate back: recover the start.
     state = init.plummer(jax.random.key(11), 64)
     cfg = SimConfig(n=64, dt=1e-3, steps=100, integrator="leapfrog",
-                    softening=1e-2, backend="jnp")
+                    softening=1e-2, backend="jnp", use_masses=True)
     fwd = simulate(cfg, state)
     flipped = BodyState(pos=fwd.pos, vel=-fwd.vel, mass=fwd.mass)
     back = simulate(cfg, flipped)
@@ -100,7 +100,7 @@ def test_energy_drift_gate_leapfrog():
     state = init.plummer(jax.random.key(21), 512)
     soft = 1e-2
     cfg = SimConfig(n=512, dt=1e-3, steps=200, integrator="leapfrog",
-                    softening=soft, backend="jnp")
+                    softening=soft, backend="jnp", use_masses=True)
     e0 = float(diag.total_energy(state, soft))
     out = simulate(cfg, state)
     e1 = float(diag.total_energy(out, soft))
