@@ -51,7 +51,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"per-chip interactions/s, N={n}, fp32 direct kernel",
+                "metric": f"per-chip interactions/s, N={n}, fp32 (symmetric kernel)",
                 "value": round(t.ginteractions_per_s_per_device, 3),
                 "unit": "GInteractions/s",
                 "vs_baseline": round(t.ginteractions_per_s_per_device / BASELINE_GIPS, 2),

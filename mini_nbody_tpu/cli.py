@@ -29,7 +29,7 @@ def _add_common(p):
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--softening", type=float, default=1e-9)
     p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler")
-    p.add_argument("--backend", choices=["auto", "jnp", "pallas", "mxu"],
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas", "mxu", "sym"],
                    default="auto")
     p.add_argument("--pair-dtype", choices=["float32", "bfloat16"],
                    default="float32")

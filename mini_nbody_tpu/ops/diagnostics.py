@@ -55,3 +55,22 @@ def angular_momentum(state: BodyState):
 def energy_drift(e0, e1):
     """Relative energy drift |E1 - E0| / |E0| (BASELINE gate: <= 1e-5 / 1k steps)."""
     return jnp.abs(e1 - e0) / jnp.abs(e0)
+
+
+@jax.jit
+def check_finite(state: BodyState):
+    """NaN/overflow guard (the failure detection the reference lacks —
+    SURVEY.md §5: its only flow control is busy flags with no error path).
+    Returns a dict of booleans; cheap enough to run every K steps."""
+    return {
+        "pos_finite": jnp.isfinite(state.pos).all(),
+        "vel_finite": jnp.isfinite(state.vel).all(),
+        "pos_bounded": (jnp.abs(state.pos) < 1e30).all(),
+    }
+
+
+def assert_finite(state: BodyState, context: str = ""):
+    """Host-side hard check; raises on NaN/Inf (fetches 3 scalars)."""
+    flags = {k: bool(v) for k, v in check_finite(state).items()}
+    if not all(flags.values()):
+        raise FloatingPointError(f"non-finite body state {context}: {flags}")

@@ -51,12 +51,33 @@ def body_force(
             softening=softening, tile_i=tile_i, tile_j=tile_j,
             interpret=interpret, pair_dtype=pair_dtype,
         )
+    if backend == "sym":
+        from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
+
+        if mass_j is not None:
+            raise ValueError(
+                "backend 'sym' is unit-mass only (use_masses=False); "
+                "mass configs use 'pallas' or 'mxu'"
+            )
+        if pos_i is not pos_j and pos_i.shape != pos_j.shape:
+            raise ValueError("backend 'sym' requires square pos_i == pos_j")
+        # The symmetric kernel has its own tuned tiling (tile=1024 with
+        # 131072-body chunks measured fastest on v5e: 346 vs 250 GInter/s at
+        # tile=512); cfg tile_i/tile_j target the streaming kernels, so they
+        # are deliberately not forwarded here.
+        return body_force_symmetric(
+            pos_i, softening=softening, interpret=interpret,
+        )
     raise ValueError(f"unknown force backend {backend!r}")
 
 
 def make_force_fn(cfg: SimConfig):
     """Close a SimConfig over body_force: (pos_i, pos_j, mass_j) -> (Ni,3)."""
     backend = cfg.resolve_backend()
+    # auto on TPU upgrades to the symmetric kernel when eligible (single-chip
+    # square unit-mass force — the reference benchmark configuration).
+    if cfg.backend == "auto" and backend == "pallas" and not cfg.use_masses:
+        backend = "sym"
     interpret = cfg.resolve_interpret()
     pair_dtype = jnp.bfloat16 if cfg.pair_dtype == "bfloat16" else jnp.float32
 

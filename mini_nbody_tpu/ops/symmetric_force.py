@@ -1,0 +1,253 @@
+"""Symmetric (Newton's-third-law) force kernel: each pair computed once.
+
+The direct kernel computes every ordered pair (~23 VPU-op equivalents per
+interaction, measured). Forces are antisymmetric (F_ij = -F_ji), so each
+unordered pair can be computed once and scattered to both bodies — the row
+body via lane-axis sums, the reaction on the column body via sublane-axis
+sums of the same d*w products.
+
+The obstacle on TPU is accumulation layout: Pallas only supports output
+accumulation over *consecutive* grid revisits, and no triangle traversal
+keeps both the row-side and column-side outputs consecutive (measured:
+non-consecutive revisits see stale data). Solution: make BOTH accumulators
+whole-array VMEM outputs with *constant* index maps (trivially consecutive),
+which bounds the body count per kernel launch to what VMEM holds
+(2 x 12*C bytes + pair temporaries). Larger N is decomposed into chunks of
+``chunk`` bodies at the XLA level:
+
+  * self-chunk kernel: diagonal-band traversal of the chunk's block triangle
+    — grid (d, i) computes block (i, (i+d) mod nb), covering each unordered
+    block pair exactly once with NO skipped steps (only the wrap band at
+    d = nb/2 is half-masked when nb is even);
+  * cross-chunk kernel (a < b): plain rectangular grid, rows accumulate to
+    chunk a (standard blocked output, consecutive along the inner axis),
+    reactions accumulate to chunk b's constant-index buffer.
+
+  force = sum of per-chunk row pieces + transposed column pieces (cheap XLA).
+
+Unit-mass only (reference semantics, ``src/fxyz.vhd:120-127``): per-body
+masses would need m_j on the row side but m_i on the column side, costing the
+multiplies the symmetry saves; mass configs use the non-symmetric kernels.
+Tails use far-padding (w underflows to exactly 0). Physics otherwise
+identical to pallas_force.py (self pairs computed-not-skipped, contributing
+exactly 0 — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
+
+_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
+    pltpu, "TPUCompilerParams"
+)
+
+
+def _pair_block(pi, pjt, softening, fast):
+    """(T,3) x (3,T) -> row sums f (T,3) and column sums g (3,T) of d*w."""
+    xi, yi, zi = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
+    dx = pjt[0:1, :] - xi  # (T, T)
+    dy = pjt[1:2, :] - yi
+    dz = pjt[2:3, :] - zi
+    r2 = dx * dx + dy * dy + (dz * dz + jnp.asarray(softening, dx.dtype))
+    if fast:
+        w = jax.lax.rsqrt((r2 * r2) * r2)
+    else:
+        inv = jax.lax.rsqrt(r2)
+        w = (inv * inv) * inv
+    dxw = dx * w
+    dyw = dy * w
+    dzw = dz * w
+    f = jnp.concatenate(
+        [jnp.sum(dxw, axis=1, keepdims=True),
+         jnp.sum(dyw, axis=1, keepdims=True),
+         jnp.sum(dzw, axis=1, keepdims=True)], axis=1)
+    g = jnp.concatenate(
+        [jnp.sum(dxw, axis=0, keepdims=True),
+         jnp.sum(dyw, axis=0, keepdims=True),
+         jnp.sum(dzw, axis=0, keepdims=True)], axis=0)
+    return f, g
+
+
+def _tri_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
+                fast, nb):
+    """Self-chunk diagonal-band step: block (i, (i+d) mod nb) at grid (i, d).
+
+    i is the OUTER grid dim so the (tile,3) rows block accumulates over
+    consecutive d steps (the supported Pallas revisit pattern); the reaction
+    buffer is the whole-chunk (3,C) constant-index output — kept (3,C) and
+    not (C,3) because VMEM lane-pads the minor dim to 128 (a (C,3) buffer
+    would materialize as C x 128 lanes = 64 MB at C=131072; (3,C) tiles to
+    4 sublanes = 2 MB).
+    """
+    i = pl.program_id(0)
+    d = pl.program_id(1)
+    jg = jax.lax.rem(i + d, jnp.int32(nb))
+
+    @pl.when(jnp.logical_and(d == 0, i == 0))
+    def _zero_cols():
+        colsT_ref[:] = jnp.zeros_like(colsT_ref)
+
+    # nb even: the d == nb/2 band pairs each block with its antipode twice;
+    # keep only the first half.
+    active = jnp.logical_or(d * 2 != nb, i * 2 < nb)
+
+    @pl.when(active)
+    def _work():
+        f, g = _pair_block(pi_ref[:], pjt_ref[:], softening, fast)
+
+        @pl.when(d == 0)
+        def _rows_init():
+            rows_ref[:] = f
+
+        @pl.when(d > 0)
+        def _rows_acc():
+            rows_ref[:] = rows_ref[:] + f
+
+        @pl.when(d > 0)  # diagonal blocks: row sums already cover both orders
+        def _cols():
+            cj = pl.ds(jg * tile, tile)
+            colsT_ref[:, cj] = colsT_ref[:, cj] - g
+
+    # Inactive steps in the masked half-band still own a rows block visit;
+    # rows content is preserved (no write), which is correct: those i rows
+    # were fully accumulated by earlier d steps of the same row sweep.
+
+
+def _cross_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
+                  fast):
+    """Cross-chunk step (i in chunk a, j in chunk b, a != b): all blocks active."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_cols():
+        colsT_ref[:] = jnp.zeros_like(colsT_ref)
+
+    f, g = _pair_block(pi_ref[:], pjt_ref[:], softening, fast)
+
+    @pl.when(j == 0)
+    def _rows_init():
+        rows_ref[:] = f
+
+    @pl.when(j > 0)
+    def _rows_acc():
+        rows_ref[:] = rows_ref[:] + f
+
+    cj = pl.ds(j * tile, tile)
+    colsT_ref[:, cj] = colsT_ref[:, cj] - g
+
+
+def _common_params(pairs, rows_bytes, cols_bytes):
+    return dict(
+        compiler_params=_CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=22 * pairs,
+            bytes_accessed=rows_bytes + cols_bytes,
+            transcendentals=pairs,
+        ),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "chunk", "interpret"),
+)
+def body_force_symmetric(
+    pos,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    chunk: int = 131072,
+    interpret: bool = False,
+):
+    """All-pairs forces on pos (N,3), unit masses, each pair computed once."""
+    n = pos.shape[0]
+    pos = pos.astype(jnp.float32)
+
+    tile = min(tile, round_up(n, 8))
+    np_ = round_up(n, tile)
+    if np_ != n:
+        pos = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=FAR)
+    pjt = pos.T  # (3, Np)
+
+    chunk = round_up(min(chunk, np_), tile)
+    bounds = list(range(0, np_, chunk)) + [np_]
+    spans = [(bounds[k], bounds[k + 1]) for k in range(len(bounds) - 1)]
+
+    fast = float(softening) >= 1e-12
+    rows_total = jnp.zeros((np_, 3), jnp.float32)
+    cols_total = jnp.zeros((3, np_), jnp.float32)
+
+    vm = pltpu.VMEM
+
+    for a, (a0, a1) in enumerate(spans):
+        ca = a1 - a0
+        nba = ca // tile
+        # --- self chunk: diagonal bands over the block triangle ---
+        nd = nba // 2 + 1
+        kern = functools.partial(_tri_kernel, softening=float(softening),
+                                 tile=tile, fast=fast, nb=nba)
+        rows_p, colsT_p = pl.pallas_call(
+            kern,
+            grid=(nba, nd),
+            in_specs=[
+                pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
+                pl.BlockSpec((3, tile),
+                             lambda i, d, _nb=nba: (0, jax.lax.rem(i + d, jnp.int32(_nb))),
+                             memory_space=vm),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
+                pl.BlockSpec((3, ca), lambda i, d: (0, 0), memory_space=vm),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ca, 3), jnp.float32),
+                jax.ShapeDtypeStruct((3, ca), jnp.float32),
+            ],
+            interpret=interpret,
+            **_common_params(nd * nba * tile * tile, ca * 24, ca * 24),
+        )(pos[a0:a1], pjt[:, a0:a1])
+        rows_total = rows_total.at[a0:a1].add(rows_p)
+        cols_total = cols_total.at[:, a0:a1].add(colsT_p)
+
+        # --- cross chunks (a, b) with b > a: full rectangles ---
+        for b0, b1 in spans[a + 1:]:
+            cb = b1 - b0
+            nbb = cb // tile
+            kern = functools.partial(_cross_kernel, softening=float(softening),
+                                     tile=tile, fast=fast)
+            rows_p, colsT_p = pl.pallas_call(
+                kern,
+                grid=(nba, nbb),
+                in_specs=[
+                    pl.BlockSpec((tile, 3), lambda i, j: (i, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((3, tile), lambda i, j: (0, j),
+                                 memory_space=vm),
+                ],
+                out_specs=[
+                    pl.BlockSpec((tile, 3), lambda i, j: (i, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((3, cb), lambda i, j: (0, 0),
+                                 memory_space=vm),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((ca, 3), jnp.float32),
+                    jax.ShapeDtypeStruct((3, cb), jnp.float32),
+                ],
+                interpret=interpret,
+                **_common_params(ca * cb, ca * 24, cb * 24),
+            )(pos[a0:a1], pjt[:, b0:b1])
+            rows_total = rows_total.at[a0:a1].add(rows_p)
+            cols_total = cols_total.at[:, b0:b1].add(colsT_p)
+
+    out = rows_total + cols_total.T
+    return out[:n]

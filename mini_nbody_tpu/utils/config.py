@@ -28,7 +28,7 @@ DT = 0.01
 #: ``src/top_level.vhd:201-205``).
 FAR = 1.0e18
 
-_BACKENDS = ("auto", "jnp", "pallas", "mxu")
+_BACKENDS = ("auto", "jnp", "pallas", "mxu", "sym")
 _INTEGRATORS = ("euler", "leapfrog")
 _PAIR_DTYPES = ("float32", "bfloat16")
 
@@ -47,7 +47,9 @@ class SimConfig:
         "leapfrog" (KDK, symplectic).
       backend: force-kernel implementation. "auto" picks "pallas" on TPU and
         "jnp" elsewhere. "mxu" = hybrid kernel that routes the O(N^2) force
-        accumulation through the matrix unit (see ops/mxu_force.py).
+        accumulation through the matrix unit (see ops/mxu_force.py). "sym" =
+        Newton's-third-law kernel computing each pair once (single-chip,
+        unit-mass, fp32-exact; see ops/symmetric_force.py).
       pair_dtype: precision knob for the mxu backend's accumulation matmul
         operands ("bfloat16" = single-pass MXU, the throughput mode;
         "float32" = exact contract). Distances are always exact fp32, and
@@ -95,6 +97,13 @@ class SimConfig:
         if self.pair_dtype not in _PAIR_DTYPES:
             raise ValueError(
                 f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"
+            )
+        if self.backend == "sym" and self.use_masses:
+            raise ValueError("backend 'sym' is unit-mass only (use_masses=False)")
+        if self.backend == "sym" and self.mesh_shape is not None:
+            raise ValueError(
+                "backend 'sym' is single-chip only (sharded exchanges compute "
+                "rectangular shard-vs-shard blocks); use 'pallas' or 'mxu'"
             )
         if self.comm not in ("all_gather", "ring"):
             raise ValueError(f"comm must be 'all_gather' or 'ring', got {self.comm!r}")

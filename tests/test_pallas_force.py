@@ -66,3 +66,38 @@ def test_coincident_bodies_finite():
     f = body_force_pallas(pos, pos, interpret=INTERP)
     assert np.isfinite(np.asarray(f)).all()
     np.testing.assert_array_equal(np.asarray(f), 0.0)
+
+
+class TestSymmetric:
+    """Newton's-third-law kernel (each pair once) vs oracle."""
+
+    def _check(self, n, tile, chunk):
+        from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
+
+        s = init.uniform_random(jax.random.key(n + 1), n)
+        f = body_force_symmetric(s.pos, tile=tile, chunk=chunk, interpret=INTERP)
+        ref = body_force_jnp(s.pos, s.pos)
+        f, ref = np.asarray(f), np.asarray(ref)
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(f, ref, rtol=1e-4, atol=1e-5 * scale)
+
+    def test_single_chunk(self):
+        self._check(256, 64, 256)
+
+    def test_multi_chunk_with_ragged_tail(self):
+        # 3 chunks incl. a ragged one + far-padded tail: exercises the
+        # tri-band, cross-rect, and padding paths together.
+        self._check(300, 64, 128)
+
+    def test_even_block_count_wrap_band(self):
+        # nb even: the antipodal band (d = nb/2) must be half-masked or
+        # pairs double-count.
+        self._check(512, 64, 512)
+
+    def test_backend_dispatch_guards(self):
+        import pytest as _pytest
+        from mini_nbody_tpu.ops.force import body_force
+
+        s = init.uniform_random(jax.random.key(0), 64)
+        with _pytest.raises(ValueError, match="unit-mass"):
+            body_force(s.pos, s.pos, s.mass, backend="sym")
