@@ -42,8 +42,9 @@ def main():
         json.dumps(
             {
                 "device": jax.devices()[0].device_kind,
-                "backend": cfg.resolve_backend(),
-                **t.report(path="vpu"),
+                "backend": cfg.effective_backend(),
+                **t.report(path={"mxu": "mxu", "sym": "sym"}.get(
+                    cfg.effective_backend(), "vpu")),
             }
         ),
         file=sys.stderr,

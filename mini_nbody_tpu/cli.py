@@ -125,10 +125,11 @@ def cmd_bench(args):
         ndev = 1
     sec = time_step_fn(step, carry, n=cfg.n, reps=args.reps)
     t = Throughput(n=cfg.n, steps=1, seconds=sec, n_devices=ndev)
-    path = "mxu" if cfg.resolve_backend() == "mxu" else "vpu"
+    eff = cfg.effective_backend(sharded=bool(cfg.mesh_shape))
+    path = {"mxu": "mxu", "sym": "sym"}.get(eff, "vpu")
     print(json.dumps({
         "device": jax.devices()[0].device_kind,
-        "backend": cfg.resolve_backend(),
+        "backend": eff,
         "pair_dtype": cfg.pair_dtype,
         **t.report(path=path),
     }))

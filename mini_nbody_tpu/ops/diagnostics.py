@@ -18,17 +18,41 @@ from mini_nbody_tpu.models.state import BodyState
 from mini_nbody_tpu.utils.config import SOFTENING
 
 
-@partial(jax.jit, static_argnames=("softening",))
-def potential_energy(pos, mass, softening: float = SOFTENING):
+@partial(jax.jit, static_argnames=("softening", "row_chunk"))
+def potential_energy(pos, mass, softening: float = SOFTENING,
+                     row_chunk: int = 2048):
     """U = -sum_{i<j} m_i m_j / sqrt(r_ij^2 + eps), matching the softened force
-    law (the force here is exactly -grad of this potential)."""
-    d = pos[None, :, :] - pos[:, None, :]
-    r2 = jnp.sum(d * d, axis=-1) + jnp.asarray(softening, pos.dtype)
-    inv = jax.lax.rsqrt(r2)
-    mm = mass[:, None] * mass[None, :]
+    law (the force here is exactly -grad of this potential). Processes i-rows
+    in chunks so memory stays O(row_chunk * N) at any N."""
     n = pos.shape[0]
-    off_diag = 1.0 - jnp.eye(n, dtype=pos.dtype)
-    return -0.5 * jnp.sum(mm * inv * off_diag)
+    soft = jnp.asarray(softening, pos.dtype)
+
+    def row_block(args):
+        pos_c, mass_c, idx_c = args
+        d = pos[None, :, :] - pos_c[:, None, :]  # (C, N, 3)
+        r2 = jnp.sum(d * d, axis=-1) + soft
+        inv = jax.lax.rsqrt(r2)
+        mm = mass_c[:, None] * mass[None, :]
+        # exclude the diagonal (self term) by global index comparison
+        cols = jnp.arange(n)[None, :]
+        off_diag = (idx_c[:, None] != cols).astype(pos.dtype)
+        # padded rows (idx >= n) contribute zero via mass_c = 0 padding
+        return jnp.sum(mm * inv * off_diag)
+
+    if n <= row_chunk:
+        return -0.5 * row_block((pos, mass, jnp.arange(n)))
+
+    n_pad = -(-n // row_chunk) * row_chunk
+    pos_p = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+    mass_p = jnp.pad(mass, (0, n_pad - n))  # zero-mass pad rows are inert
+    idx = jnp.arange(n_pad)
+    chunks = (
+        pos_p.reshape(-1, row_chunk, 3),
+        mass_p.reshape(-1, row_chunk),
+        idx.reshape(-1, row_chunk),
+    )
+    partials = jax.lax.map(row_block, chunks)
+    return -0.5 * jnp.sum(partials)
 
 
 @jax.jit

@@ -73,11 +73,7 @@ def body_force(
 
 def make_force_fn(cfg: SimConfig):
     """Close a SimConfig over body_force: (pos_i, pos_j, mass_j) -> (Ni,3)."""
-    backend = cfg.resolve_backend()
-    # auto on TPU upgrades to the symmetric kernel when eligible (single-chip
-    # square unit-mass force — the reference benchmark configuration).
-    if cfg.backend == "auto" and backend == "pallas" and not cfg.use_masses:
-        backend = "sym"
+    backend = cfg.effective_backend()
     interpret = cfg.resolve_interpret()
     pair_dtype = jnp.bfloat16 if cfg.pair_dtype == "bfloat16" else jnp.float32
 

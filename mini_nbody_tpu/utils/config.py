@@ -120,6 +120,15 @@ class SimConfig:
 
         return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
+    def effective_backend(self, sharded: bool = False) -> str:
+        """The backend actually used by make_force_fn: auto upgrades to the
+        symmetric kernel for single-chip unit-mass configs on TPU."""
+        backend = self.resolve_backend()
+        if (self.backend == "auto" and backend == "pallas"
+                and not self.use_masses and not sharded):
+            return "sym"
+        return backend
+
     def resolve_interpret(self) -> bool:
         """Pallas interpret mode: real Mosaic on TPU, interpreter elsewhere."""
         if self.interpret is not None:

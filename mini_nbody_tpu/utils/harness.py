@@ -30,6 +30,10 @@ FLOPS_PER_INTERACTION = 20.0
 #: (3 sub, 6 for r^2, 1 rsqrt, 3 cube/scale, 3 mul, 3 add-accumulate).
 VPU_OPS_PER_INTERACTION = 19.0
 
+#: The symmetric kernel computes each unordered pair once (~23 ops) and
+#: covers two ordered interactions: ~11.5 VPU ops per interaction.
+VPU_OPS_PER_INTERACTION_SYM = 11.5
+
 #: Peak-throughput estimates per chip generation (per-chip, fp32 VPU ops/s and
 #: bf16 MXU flops/s). VPU = 4 ALUs x (8x128) lanes x clock; clocks inferred
 #: from published peak TFLOPs. These are estimates for roofline reporting.
@@ -130,6 +134,8 @@ class Throughput:
         per_dev = self.interactions / self.seconds / self.n_devices
         if path == "vpu":
             return per_dev * VPU_OPS_PER_INTERACTION / peaks["vpu_fp32"]
+        if path == "sym":
+            return per_dev * VPU_OPS_PER_INTERACTION_SYM / peaks["vpu_fp32"]
         return per_dev * FLOPS_PER_INTERACTION / peaks["mxu_bf16"]
 
     def report(self, path: str = "vpu") -> dict:

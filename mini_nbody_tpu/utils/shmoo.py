@@ -46,8 +46,9 @@ def sweep(cfg: SimConfig, ns: List[int], reps: int = 3,
             carry = init_sharded_carry(c, mesh, state)
         sec = time_step_fn(step, carry, n=n, reps=reps)
         t = Throughput(n=n, steps=1, seconds=sec, n_devices=n_devices)
-        path = "mxu" if c.resolve_backend() == "mxu" else "vpu"
-        row = {"backend": c.resolve_backend(), **t.report(path=path)}
+        eff = c.effective_backend(sharded=mesh is not None)
+        path = {"mxu": "mxu", "sym": "sym"}.get(eff, "vpu")
+        row = {"backend": eff, **t.report(path=path)}
         row.pop("steps", None)
         rows.append(row)
     return rows

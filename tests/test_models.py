@@ -45,3 +45,16 @@ def test_state_is_pytree():
     assert len(leaves) == 3
     doubled = jax.tree_util.tree_map(lambda x: x * 2, s)
     np.testing.assert_allclose(np.asarray(doubled.pos), 2 * np.asarray(s.pos))
+
+
+def test_potential_energy_chunked_matches_direct():
+    s = init.uniform_random(jax.random.key(5), 300)
+    u_direct = float(diag.potential_energy(s.pos, s.mass, 1e-2, row_chunk=512))
+    u_chunked = float(diag.potential_energy(s.pos, s.mass, 1e-2, row_chunk=64))
+    np.testing.assert_allclose(u_chunked, u_direct, rtol=1e-5)
+    # vs numpy fp64
+    p = np.asarray(s.pos, np.float64)
+    d = p[None] - p[:, None]
+    r2 = (d * d).sum(-1) + 1e-2
+    ref = -0.5 * (1.0 / np.sqrt(r2))[~np.eye(300, dtype=bool)].sum()
+    np.testing.assert_allclose(u_direct, ref, rtol=1e-4)

@@ -71,3 +71,25 @@ def test_step_metrics():
     assert row["step"] == 10 and row["energy"] == -1.0
     m.tick(5)
     assert "\n" in m.jsonl()
+
+
+def test_multihost_noop_without_env(monkeypatch):
+    from mini_nbody_tpu.parallel import multihost
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert multihost.initialize() is False
+    assert multihost.is_primary()
+    assert multihost.global_mesh().devices.size >= 1
+
+
+def test_check_finite_guard():
+    import jax.numpy as jnp
+    from mini_nbody_tpu.models.state import BodyState
+    from mini_nbody_tpu.ops.diagnostics import assert_finite, check_finite
+
+    s = init.uniform_random(jax.random.key(0), 16)
+    assert all(bool(v) for v in check_finite(s).values())
+    bad = BodyState(pos=s.pos.at[0, 0].set(jnp.nan), vel=s.vel, mass=s.mass)
+    with pytest.raises(FloatingPointError):
+        assert_finite(bad, "test")
