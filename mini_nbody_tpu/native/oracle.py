@@ -62,6 +62,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_double, ctypes.c_int64,
         ]
+        lib.euler_steps_f64.restype = None
+        lib.euler_steps_f64.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
         return _lib
 
@@ -105,6 +111,27 @@ def potential_energy_oracle(pos, mass=None, softening: float = 1e-9) -> float:
         lib.potential_energy_f64(_fptr(p), mp, ctypes.c_double(softening),
                                  p.shape[0])
     )
+
+
+def euler_steps_oracle(pos, vel, mass=None, dt: float = 0.01, steps: int = 10,
+                       softening: float = 1e-9):
+    """Reference trajectory: `steps` semi-implicit Euler steps with fp64
+    forces and fp32 state (upstream mini-nbody semantics: v += dt*F;
+    x += dt*v). Returns (pos, vel) float32 arrays."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native oracle unavailable: {_build_error}")
+    p = _as_f32(pos).copy()
+    v = _as_f32(vel).copy()
+    n = p.shape[0]
+    mp = _fptr(_as_f32(mass)) if mass is not None else None
+    scratch = np.empty((n, 3), np.float64)
+    lib.euler_steps_f64(
+        _fptr(p), _fptr(v), mp, ctypes.c_double(softening),
+        ctypes.c_double(dt), n, steps,
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return p, v
 
 
 # Used by tests to report why the oracle is missing.

@@ -35,11 +35,12 @@ VPU_OPS_PER_INTERACTION = 19.0
 VPU_OPS_PER_INTERACTION_SYM = 11.5
 
 #: Peak-throughput estimates per chip generation (per-chip, fp32 VPU ops/s and
-#: bf16 MXU flops/s). VPU = 4 ALUs x (8x128) lanes x clock; clocks inferred
-#: from published peak TFLOPs. These are estimates for roofline reporting.
+#: bf16 MXU flops/s). v5e vpu_fp32 is the MEASURED sustained elementwise rate
+#: on this hardware (r2-only microbenchmark: 4.0e12 fp32 ops/s — see
+#: CLAUDE.md); other rows are estimates from published peak TFLOPs.
 CHIP_PEAKS = {
-    "v5 lite": {"vpu_fp32": 6.1e12, "mxu_bf16": 197e12, "clock": 1.5e9},
-    "v5e": {"vpu_fp32": 6.1e12, "mxu_bf16": 197e12, "clock": 1.5e9},
+    "v5 lite": {"vpu_fp32": 4.0e12, "mxu_bf16": 197e12, "clock": 1.5e9},
+    "v5e": {"vpu_fp32": 4.0e12, "mxu_bf16": 197e12, "clock": 1.5e9},
     "v5p": {"vpu_fp32": 7.2e12, "mxu_bf16": 459e12, "clock": 1.75e9},
     "v4": {"vpu_fp32": 4.3e12, "mxu_bf16": 275e12, "clock": 1.05e9},
     "v6e": {"vpu_fp32": 7.6e12, "mxu_bf16": 918e12, "clock": 0.94e9},

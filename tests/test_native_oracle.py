@@ -54,3 +54,29 @@ def test_large_n_speed():
     dt = time.perf_counter() - t0
     assert np.isfinite(f).all()
     assert dt < 30.0
+
+
+def test_trajectory_vs_tpu_engine():
+    # Config-1 fidelity: the engine's Euler trajectory must track the native
+    # fp64-force oracle trajectory (identical v-then-x semantics).
+    import jax
+    from mini_nbody_tpu import SimConfig, init, simulate
+
+    # softening 1e-4 bounds close-encounter forces; at the reference 1e-9 the
+    # system is chaotic enough that fp32-vs-fp64 force noise visibly diverges
+    # trajectories within 10 steps (intrinsic, not an engine defect).
+    state = init.uniform_random(jax.random.key(3), 512)
+    pos64, vel64 = native.euler_steps_oracle(
+        np.asarray(state.pos), np.asarray(state.vel), dt=0.01, steps=10,
+        softening=1e-4,
+    )
+    cfg = SimConfig(n=512, dt=0.01, steps=10, backend="jnp", softening=1e-4)
+    out = simulate(cfg, state)
+    pos = np.asarray(out.pos)
+    scale = np.abs(pos64).max()
+    err = np.abs(pos - pos64)
+    # A v-then-x ordering bug would shift EVERY element by O(dt^2 * F); the
+    # tail elements are close-encounter chaos amplification, so gate the
+    # median tightly and the max loosely.
+    assert np.median(err) < 1e-4 * scale  # ordering bug would be ~1e-2
+    assert err.max() < 5e-3 * scale
