@@ -168,86 +168,120 @@ def body_force_symmetric(
     chunk: int = 131072,
     interpret: bool = False,
 ):
-    """All-pairs forces on pos (N,3), unit masses, each pair computed once."""
+    """All-pairs forces on pos (N,3), unit masses, each pair computed once.
+
+    N beyond one chunk is decomposed into nc equal tile-aligned chunks and
+    driven by two lax.scan loops (one over self chunks, one over cross chunk
+    pairs), so compile cost is constant in N — two Mosaic kernels total.
+    """
     n = pos.shape[0]
     pos = pos.astype(jnp.float32)
 
     tile = min(tile, round_up(n, 8))
-    np_ = round_up(n, tile)
+    # Equal tile-aligned chunks (scan needs uniform shapes); padding waste is
+    # at most nc*tile bodies.
+    nc = max(1, -(-n // chunk))
+    c = round_up(-(-n // nc), tile)
+    np_ = nc * c
     if np_ != n:
         pos = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=FAR)
     pjt = pos.T  # (3, Np)
 
-    chunk = round_up(min(chunk, np_), tile)
-    bounds = list(range(0, np_, chunk)) + [np_]
-    spans = [(bounds[k], bounds[k + 1]) for k in range(len(bounds) - 1)]
-
+    nb = c // tile
     fast = float(softening) >= 1e-12
+    vm = pltpu.VMEM
+
+    # --- the two kernels (shapes fixed by (tile, c)) ---
+    nd = nb // 2 + 1
+    tri_call = pl.pallas_call(
+        functools.partial(_tri_kernel, softening=float(softening), tile=tile,
+                          fast=fast, nb=nb),
+        grid=(nb, nd),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, tile),
+                         lambda i, d: (0, jax.lax.rem(i + d, jnp.int32(nb))),
+                         memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, c), lambda i, d: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, c), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(nb * nd * tile * tile, c * 24, c * 24),
+    )
+    cross_call = pl.pallas_call(
+        functools.partial(_cross_kernel, softening=float(softening),
+                          tile=tile, fast=fast),
+        grid=(nb, nb),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, tile), lambda i, j: (0, j), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 3), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, c), lambda i, j: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, c), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(c * c, c * 24, c * 24),
+    )
+
+    if nc == 1:
+        rows, colsT = tri_call(pos, pjt)
+        return (rows + colsT.T)[:n]
+
     rows_total = jnp.zeros((np_, 3), jnp.float32)
     cols_total = jnp.zeros((3, np_), jnp.float32)
 
-    vm = pltpu.VMEM
+    def add_rows(buf, off, r):
+        zero = jnp.zeros((), off.dtype)
+        cur = jax.lax.dynamic_slice(buf, (off, zero), (c, 3))
+        return jax.lax.dynamic_update_slice(buf, cur + r, (off, zero))
 
-    for a, (a0, a1) in enumerate(spans):
-        ca = a1 - a0
-        nba = ca // tile
-        # --- self chunk: diagonal bands over the block triangle ---
-        nd = nba // 2 + 1
-        kern = functools.partial(_tri_kernel, softening=float(softening),
-                                 tile=tile, fast=fast, nb=nba)
-        rows_p, colsT_p = pl.pallas_call(
-            kern,
-            grid=(nba, nd),
-            in_specs=[
-                pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
-                pl.BlockSpec((3, tile),
-                             lambda i, d, _nb=nba: (0, jax.lax.rem(i + d, jnp.int32(_nb))),
-                             memory_space=vm),
-            ],
-            out_specs=[
-                pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
-                pl.BlockSpec((3, ca), lambda i, d: (0, 0), memory_space=vm),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((ca, 3), jnp.float32),
-                jax.ShapeDtypeStruct((3, ca), jnp.float32),
-            ],
-            interpret=interpret,
-            **_common_params(nd * nba * tile * tile, ca * 24, ca * 24),
-        )(pos[a0:a1], pjt[:, a0:a1])
-        rows_total = rows_total.at[a0:a1].add(rows_p)
-        cols_total = cols_total.at[:, a0:a1].add(colsT_p)
+    def add_cols(buf, off, ct):
+        zero = jnp.zeros((), off.dtype)
+        cur = jax.lax.dynamic_slice(buf, (zero, off), (3, c))
+        return jax.lax.dynamic_update_slice(buf, cur + ct, (zero, off))
 
-        # --- cross chunks (a, b) with b > a: full rectangles ---
-        for b0, b1 in spans[a + 1:]:
-            cb = b1 - b0
-            nbb = cb // tile
-            kern = functools.partial(_cross_kernel, softening=float(softening),
-                                     tile=tile, fast=fast)
-            rows_p, colsT_p = pl.pallas_call(
-                kern,
-                grid=(nba, nbb),
-                in_specs=[
-                    pl.BlockSpec((tile, 3), lambda i, j: (i, 0),
-                                 memory_space=vm),
-                    pl.BlockSpec((3, tile), lambda i, j: (0, j),
-                                 memory_space=vm),
-                ],
-                out_specs=[
-                    pl.BlockSpec((tile, 3), lambda i, j: (i, 0),
-                                 memory_space=vm),
-                    pl.BlockSpec((3, cb), lambda i, j: (0, 0),
-                                 memory_space=vm),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((ca, 3), jnp.float32),
-                    jax.ShapeDtypeStruct((3, cb), jnp.float32),
-                ],
-                interpret=interpret,
-                **_common_params(ca * cb, ca * 24, cb * 24),
-            )(pos[a0:a1], pjt[:, b0:b1])
-            rows_total = rows_total.at[a0:a1].add(rows_p)
-            cols_total = cols_total.at[:, b0:b1].add(colsT_p)
+    # Self chunks.
+    def tri_body(carry, off):
+        rows, cols = carry
+        zero = jnp.zeros((), off.dtype)
+        pa = jax.lax.dynamic_slice(pos, (off, zero), (c, 3))
+        pat = jax.lax.dynamic_slice(pjt, (zero, off), (3, c))
+        r, ct = tri_call(pa, pat)
+        return (add_rows(rows, off, r), add_cols(cols, off, ct)), None
+
+    offs = jnp.arange(nc, dtype=jnp.int32) * c
+    (rows_total, cols_total), _ = jax.lax.scan(
+        tri_body, (rows_total, cols_total), offs
+    )
+
+    # Cross chunk pairs (a < b).
+    pair_offs = jnp.asarray(
+        [(a * c, b * c) for a in range(nc) for b in range(a + 1, nc)],
+        dtype=jnp.int32,
+    )
+
+    def cross_body(carry, ab):
+        rows, cols = carry
+        zero = jnp.zeros((), ab.dtype)
+        pa = jax.lax.dynamic_slice(pos, (ab[0], zero), (c, 3))
+        pbt = jax.lax.dynamic_slice(pjt, (zero, ab[1]), (3, c))
+        r, ct = cross_call(pa, pbt)
+        return (add_rows(rows, ab[0], r), add_cols(cols, ab[1], ct)), None
+
+    (rows_total, cols_total), _ = jax.lax.scan(
+        cross_body, (rows_total, cols_total), pair_offs
+    )
 
     out = rows_total + cols_total.T
     return out[:n]

@@ -78,6 +78,20 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
     # Ring: rotate (pos, mass) shards around the mesh, one hop per shard.
     perm = [(k, (k + 1) % n_shards) for k in range(n_shards)]
 
+    # Hop 0 computes the shard against itself — a square unit-mass force,
+    # eligible for the symmetric kernel (each pair once, ~1.8x the direct
+    # kernel on that 1/P slice of the work).
+    use_sym_self = (not cfg.use_masses) and backend in ("pallas", "sym")
+
+    def self_force(pos_local, mass_local):
+        if use_sym_self:
+            from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
+
+            return body_force_symmetric(
+                pos_local, softening=cfg.softening, interpret=interpret
+            )
+        return kern(pos_local, pos_local, mass_local)
+
     def force(pos_local, _pos_j, mass_local):
         def hop(k, carry):
             acc, cur_pos, cur_mass = carry
@@ -85,7 +99,9 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
             # so the scheduler overlaps the ICI hop with the O((N/P)^2) math.
             nxt_pos = jax.lax.ppermute(cur_pos, BODY_AXIS, perm)
             nxt_mass = jax.lax.ppermute(cur_mass, BODY_AXIS, perm)
-            acc = acc + kern(pos_local, cur_pos, cur_mass)
+            part = (self_force(pos_local, mass_local) if k == 0
+                    else kern(pos_local, cur_pos, cur_mass))
+            acc = acc + part
             return acc, nxt_pos, nxt_mass
 
         acc = jnp.zeros_like(pos_local)
@@ -94,6 +110,8 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
         for k in range(n_shards - 1):
             carry = hop(k, carry)
         acc, cur_pos, cur_mass = carry
+        if n_shards == 1:
+            return acc + self_force(pos_local, mass_local)
         return acc + kern(pos_local, cur_pos, cur_mass)
 
     return force

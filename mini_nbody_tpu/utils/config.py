@@ -122,7 +122,9 @@ class SimConfig:
 
     def effective_backend(self, sharded: bool = False) -> str:
         """The backend actually used by make_force_fn: auto upgrades to the
-        symmetric kernel for single-chip unit-mass configs on TPU."""
+        symmetric kernel for single-chip unit-mass configs on TPU (any N:
+        the chunk-pair decomposition is a lax.scan with constant compile
+        cost)."""
         backend = self.resolve_backend()
         if (self.backend == "auto" and backend == "pallas"
                 and not self.use_masses and not sharded):

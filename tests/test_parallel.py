@@ -12,7 +12,8 @@ from mini_nbody_tpu.parallel.sharded import init_sharded_carry, make_sharded_ste
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh; real-TPU runs skip)")
     return make_mesh(8)
 
 
@@ -84,3 +85,18 @@ def test_output_stays_sharded(mesh):
     # The step must not implicitly replicate the state.
     assert not out.pos.sharding.is_fully_replicated
     assert out.pos.sharding.spec == jax.sharding.PartitionSpec("i", None)
+
+
+def test_ring_symmetric_self_hop(mesh):
+    # Unit-mass ring path upgrades hop 0 to the symmetric kernel; results
+    # must match the plain path.
+    n = 512
+    state = init.uniform_random(jax.random.key(7), n)
+    cfg = SimConfig(n=n, steps=3, backend="pallas", comm="ring",
+                    tile_i=32, tile_j=128)
+    ref = simulate(cfg.replace(backend="jnp"), state)
+    out = simulate_sharded(cfg, mesh, state)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
