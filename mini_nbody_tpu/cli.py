@@ -84,6 +84,20 @@ def cmd_run(args):
 
         mesh = make_mesh(cfg.mesh_shape[0])
         out = simulate_sharded(cfg, mesh, state)
+    elif args.save and args.save_every:
+        # Periodic checkpointing: the analog of the reference's implicit
+        # state persistence between force passes (src/top_level.vhd:180-186),
+        # with crash recovery the reference never had.
+        from mini_nbody_tpu.ops.diagnostics import assert_finite
+
+        out = state
+        done = 0
+        while done < cfg.steps:
+            k = min(args.save_every, cfg.steps - done)
+            out = simulate(cfg, out, steps=k)
+            done += k
+            assert_finite(out, f"at step {start_step + done}")
+            ckpt.save(args.save, out, step=start_step + done, cfg=cfg)
     else:
         out = simulate(cfg, state)
     jax.block_until_ready(out.pos)
@@ -213,6 +227,8 @@ def main(argv=None):
     p = sub.add_parser("run", help="integrate a system")
     _add_common(p)
     p.add_argument("--save", help="checkpoint path (npz)")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="checkpoint every K steps (with --save)")
     p.add_argument("--resume", help="resume from checkpoint")
     p.add_argument("--energy", action="store_true", help="report total energy")
     p.set_defaults(fn=cmd_run)

@@ -80,8 +80,10 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
 
     # Hop 0 computes the shard against itself — a square unit-mass force,
     # eligible for the symmetric kernel (each pair once, ~1.8x the direct
-    # kernel on that 1/P slice of the work).
-    use_sym_self = (not cfg.use_masses) and backend in ("pallas", "sym")
+    # kernel on that 1/P slice of the work). Also used under the mxu backend:
+    # it is both faster and more accurate than the bf16-accumulate matmul the
+    # user opted into for the cross hops.
+    use_sym_self = (not cfg.use_masses) and backend in ("pallas", "sym", "mxu")
 
     def self_force(pos_local, mass_local):
         if use_sym_self:

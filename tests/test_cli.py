@@ -42,3 +42,15 @@ def test_bench_reports(capsys):
     out = _run(capsys, ["bench", "--n", "256", "--backend", "jnp", "--reps", "1"])
     rep = json.loads(out)
     assert rep["backend"] == "jnp" and rep["ginteractions_per_s"] > 0
+
+
+def test_run_periodic_checkpointing(tmp_path, capsys):
+    ck = str(tmp_path / "periodic.npz")
+    out = _run(capsys, ["run", "--n", "64", "--steps", "6", "--backend", "jnp",
+                        "--save", ck, "--save-every", "2"])
+    rep = json.loads(out)
+    assert rep["checkpoint"] == ck
+    from mini_nbody_tpu.utils import checkpoint as ckpt
+
+    _, step, _ = ckpt.load(ck)
+    assert step == 6
