@@ -35,7 +35,7 @@ def _add_common(p):
                    default="float32")
     p.add_argument("--tile-i", type=int, default=512)
     p.add_argument("--tile-j", type=int, default=2048)
-    p.add_argument("--init", choices=["uniform", "plummer", "cold_sphere"],
+    p.add_argument("--init", choices=["uniform", "plummer", "cold_sphere", "two_cluster"],
                    default="uniform")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=0,

@@ -93,10 +93,26 @@ def cold_sphere(key: jax.Array, n: int, dtype=jnp.float32) -> BodyState:
     return BodyState.create(pos, vel, jnp.full((n,), 1.0 / n, dtype), dtype=dtype)
 
 
+def two_cluster(key, n: int, dtype=jnp.float32, separation: float = 4.0,
+                approach: float = 0.3) -> BodyState:
+    """Two Plummer spheres on a collision course (merger test problem)."""
+    k1, k2 = jax.random.split(key)
+    n1 = n // 2
+    a = plummer(k1, n1, dtype, total_mass=0.5)
+    b = plummer(k2, n - n1, dtype, total_mass=0.5)
+    off = jnp.asarray([separation / 2, 0.0, 0.0], dtype)
+    vel = jnp.asarray([approach / 2, 0.0, 0.0], dtype)
+    pos = jnp.concatenate([a.pos - off, b.pos + off])
+    v = jnp.concatenate([a.vel + vel, b.vel - vel])
+    mass = jnp.concatenate([a.mass, b.mass])
+    return BodyState.create(pos, v, mass, dtype=dtype)
+
+
 PRESETS = {
     "uniform": uniform_random,
     "plummer": plummer,
     "cold_sphere": cold_sphere,
+    "two_cluster": two_cluster,
 }
 
 

@@ -1,0 +1,112 @@
+"""Differentiable force op: analytic VJP over the Pallas force backends.
+
+The Pallas kernels have no automatic derivative, but softened gravity has a
+clean analytic one. With d_ij = p_j - p_i, s = |d|^2 + eps, w = s^(-3/2),
+u = s^(-5/2), and L = sum_i g_i . F_i:
+
+  receiver (i = k):  dL/dp_k += sum_j m_j [ -w g_k + 3 u (g_k . d_kj) d_kj ]
+  source   (j = k):  dL/dp_k += m_k sum_i [  w g_i - 3 u (g_i . d_kj(i)) d ]
+
+(the self term i = j = k cancels exactly between the two, so diagonals need
+no masking). The VJP is itself a pairwise O(N^2) reduction, evaluated here
+as chunked jnp (XLA-fused, memory O(chunk * N)); a hand-written Pallas
+backward kernel is a future optimization.
+
+The reference, being fixed-function hardware, has no notion of
+differentiation — this is TPU/JAX-native capability on top of parity
+(enables e.g. initial-condition optimization and adjoint analyses through
+the simulator).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _vjp_pos(pos, g, mass, softening, row_chunk: int = 2048):
+    """pos_bar for cotangent g of F(pos): square, self-interacting system."""
+    n = pos.shape[0]
+    soft = jnp.asarray(softening, pos.dtype)
+
+    def block(args):
+        pos_c, g_c, m_c = args
+        d = pos[None, :, :] - pos_c[:, None, :]  # (C, N, 3): d[k, j] = p_j - p_k
+        s = jnp.sum(d * d, axis=-1) + soft
+        w = s ** -1.5
+        u = s ** -2.5
+        m_w = mass[None, :] * w
+        m_u = mass[None, :] * u
+        # receiver side: sum_j m_j (-w g_k + 3 u (g_k . d) d)
+        dot_gk_d = jnp.sum(g_c[:, None, :] * d, axis=-1)  # (C, N)
+        t_recv = (
+            -jnp.sum(m_w, axis=1, keepdims=True) * g_c
+            + 3.0 * jnp.sum((m_u * dot_gk_d)[:, :, None] * d, axis=1)
+        )
+        # source side: m_k sum_i (w g_i - 3 u (g_i . d) d)   [d sign-safe:
+        # the quadratic form is even in d and w g_i has no d factor]
+        dot_gi_d = jnp.sum(g[None, :, :] * d, axis=-1)
+        t_src = m_c[:, None] * (
+            jnp.einsum("kn,nc->kc", w, g)
+            - 3.0 * jnp.sum((u * dot_gi_d)[:, :, None] * d, axis=1)
+        )
+        return t_recv + t_src
+
+    if n <= row_chunk:
+        return block((pos, g, mass))
+    n_pad = -(-n // row_chunk) * row_chunk
+    if n_pad != n:
+        # zero-mass origin padding is inert on both sides of the VJP
+        pos = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+        g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
+        mass = jnp.pad(mass, (0, n_pad - n))
+    chunks = (
+        pos.reshape(-1, row_chunk, 3),
+        g.reshape(-1, row_chunk, 3),
+        mass.reshape(-1, row_chunk),
+    )
+    out = jax.lax.map(block, chunks).reshape(n_pad, 3)
+    return out[:n]
+
+
+def make_body_force_diff(force_impl, softening: float):
+    """Wrap ``force_impl(pos, mass) -> (N,3)`` (square self-force, any
+    backend, non-differentiable) into a custom-VJP differentiable function.
+
+    Forward runs the kernel; backward is the analytic pairwise VJP above.
+    Gradients flow to pos only (mass is treated as a static property; its
+    cotangent is zero)."""
+
+    @jax.custom_vjp
+    def body_force_diff(pos, mass):
+        return force_impl(pos, mass)
+
+    def _fwd(pos, mass):
+        return force_impl(pos, mass), (pos, mass)
+
+    def _bwd(res, g):
+        pos, mass = res
+        return _vjp_pos(pos, g, mass, softening), jnp.zeros_like(mass)
+
+    body_force_diff.defvjp(_fwd, _bwd)
+    return body_force_diff
+
+
+def make_differentiable_force(cfg):
+    """Differentiable ``force(pos, mass=None) -> (N,3)`` over the configured
+    kernel (SimConfig.backend), suitable for jax.grad / jax.vjp."""
+    from mini_nbody_tpu.ops.force import make_force_fn
+
+    inner = make_force_fn(cfg)
+
+    def impl(pos, mass):
+        return inner(pos, pos, mass)
+
+    diff = make_body_force_diff(impl, float(cfg.softening))
+
+    def force(pos, mass=None):
+        if mass is None:
+            mass = jnp.ones((pos.shape[0],), pos.dtype)
+        return diff(pos, mass)
+
+    return force

@@ -58,3 +58,12 @@ def test_potential_energy_chunked_matches_direct():
     r2 = (d * d).sum(-1) + 1e-2
     ref = -0.5 * (1.0 / np.sqrt(r2))[~np.eye(300, dtype=bool)].sum()
     np.testing.assert_allclose(u_direct, ref, rtol=1e-4)
+
+
+def test_two_cluster_preset():
+    s = init.make("two_cluster", jax.random.key(0), 200)
+    assert s.n == 200
+    x = np.asarray(s.pos[:, 0])
+    # two spatially separated groups
+    assert (x < -1).sum() > 50 and (x > 1).sum() > 50
+    assert abs(float(np.asarray(s.mass).sum()) - 1.0) < 1e-5
