@@ -33,8 +33,12 @@ def _vjp_pos(pos, g, mass, softening, row_chunk: int = 2048):
         pos_c, g_c, m_c = args
         d = pos[None, :, :] - pos_c[:, None, :]  # (C, N, 3): d[k, j] = p_j - p_k
         s = jnp.sum(d * d, axis=-1) + soft
-        w = s ** -1.5
-        u = s ** -2.5
+        # rsqrt-based powers: s**-p lowers to exp/log on TPU (~1e-3 relative
+        # after the near-cancelling sums below); hardware rsqrt is ~1 ulp.
+        inv = jax.lax.rsqrt(s)
+        inv2 = inv * inv
+        w = inv2 * inv          # s^(-3/2)
+        u = w * inv2            # s^(-5/2)
         m_w = mass[None, :] * w
         m_u = mass[None, :] * u
         # receiver side: sum_j m_j (-w g_k + 3 u (g_k . d) d)
@@ -46,8 +50,11 @@ def _vjp_pos(pos, g, mass, softening, row_chunk: int = 2048):
         # source side: m_k sum_i (w g_i - 3 u (g_i . d) d)   [d sign-safe:
         # the quadratic form is even in d and w g_i has no d factor]
         dot_gi_d = jnp.sum(g[None, :, :] * d, axis=-1)
+        # HIGHEST: this einsum is a matmul, and TPU's default single-pass
+        # bf16 MXU contraction costs ~3e-3 relative gradient error.
         t_src = m_c[:, None] * (
-            jnp.einsum("kn,nc->kc", w, g)
+            jnp.einsum("kn,nc->kc", w, g,
+                       precision=jax.lax.Precision.HIGHEST)
             - 3.0 * jnp.sum((u * dot_gi_d)[:, :, None] * d, axis=1)
         )
         return t_recv + t_src

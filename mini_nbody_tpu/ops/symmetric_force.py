@@ -178,6 +178,10 @@ def body_force_symmetric(
     pos = pos.astype(jnp.float32)
 
     tile = min(tile, round_up(n, 8))
+    # Mosaic requires the (3, tile) block's lane dim to be a multiple of 128
+    # unless the block covers the whole array; interpret mode is laxer.
+    if not interpret and tile < round_up(n, 8):
+        tile = round_up(tile, 128)
     # Equal tile-aligned chunks (scan needs uniform shapes); padding waste is
     # at most nc*tile bodies.
     nc = max(1, -(-n // chunk))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mini_nbody_tpu import SimConfig
 from mini_nbody_tpu.models import init
@@ -65,6 +66,8 @@ def test_vjp_chunked_matches_unchunked():
 
 def test_finite_difference():
     # Directional derivative via central differences in fp64 (CPU x64 on).
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs x64 (enabled only in forced-CPU test runs)")
     s = init.uniform_random(jax.random.key(4), 32)
     pos64 = jnp.asarray(np.asarray(s.pos), jnp.float64)
     v = jax.random.normal(jax.random.key(5), pos64.shape, jnp.float64)
