@@ -40,7 +40,7 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=0,
                    help="shard bodies over this many devices (0 = single)")
-    p.add_argument("--comm", choices=["all_gather", "ring"], default="ring")
+    p.add_argument("--comm", choices=["all_gather", "ring", "ring_sym"], default="ring")
 
 
 def _build(args):

@@ -289,3 +289,69 @@ def body_force_symmetric(
 
     out = rows_total + cols_total.T
     return out[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret"),
+)
+def body_force_pair(
+    pos_a,
+    pos_b,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    interpret: bool = False,
+):
+    """Forces between two DISJOINT unit-mass body sets, each cross pair
+    computed once: returns (F_on_a, F_on_b) with F_on_b the reactions.
+
+    The building block of the symmetric half-ring exchange
+    (parallel/sharded.py): a traveling position packet accumulates its
+    reaction forces here while the resident shard accumulates its rows.
+    Intra-set pairs are NOT computed (use body_force_symmetric for those).
+    """
+    na, nb_n = pos_a.shape[0], pos_b.shape[0]
+    pos_a = pos_a.astype(jnp.float32)
+    pos_b = pos_b.astype(jnp.float32)
+
+    tile_a = min(tile, round_up(na, 8))
+    tile_b = min(tile, round_up(nb_n, 8))
+    if not interpret:
+        if tile_a < round_up(na, 8):
+            tile_a = round_up(tile_a, 128)
+        if tile_b < round_up(nb_n, 8):
+            tile_b = round_up(tile_b, 128)
+    tile_ab = min(tile_a, tile_b)
+    na_p = round_up(na, tile_ab)
+    nb_p = round_up(nb_n, tile_ab)
+    if na_p != na:
+        pos_a = jnp.pad(pos_a, ((0, na_p - na), (0, 0)), constant_values=FAR)
+    if nb_p != nb_n:
+        pos_b = jnp.pad(pos_b, ((0, nb_p - nb_n), (0, 0)), constant_values=FAR)
+    pbt = pos_b.T
+
+    fast = float(softening) >= 1e-12
+    rows, colsT = pl.pallas_call(
+        functools.partial(_cross_kernel, softening=float(softening),
+                          tile=tile_ab, fast=fast),
+        grid=(na_p // tile_ab, nb_p // tile_ab),
+        in_specs=[
+            pl.BlockSpec((tile_ab, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_ab), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_ab, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, nb_p), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((na_p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, nb_p), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(na_p * nb_p, na_p * 24, nb_p * 24),
+    )(pos_a, pbt)
+    return rows[:na], colsT.T[:nb_n]

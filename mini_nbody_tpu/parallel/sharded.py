@@ -75,6 +75,51 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
 
         return force
 
+    if cfg.comm == "ring_sym":
+        # Symmetric half-ring: Newton's third law ACROSS shards. A traveling
+        # packet (positions + accumulated reactions) makes ceil((P-1)/2) hops;
+        # at each hop the resident shard computes every cross pair ONCE
+        # (ops.symmetric_force.body_force_pair), adding rows locally and
+        # reactions into the packet, which finally returns to its owner in a
+        # single logical ppermute. Half the compute of the plain ring for
+        # roughly the same ICI volume (2 arrays per hop instead of 1, but
+        # ~half the hops). Unit-mass only (enforced in SimConfig).
+        from mini_nbody_tpu.ops.symmetric_force import (
+            body_force_pair, body_force_symmetric)
+
+        half = n_shards // 2  # hops
+        fwd = [(k, (k + 1) % n_shards) for k in range(n_shards)]
+        back = [(k, (k - half) % n_shards) for k in range(n_shards)]
+
+        def force(pos_local, _pos_j, _mass_local):
+            own = body_force_symmetric(
+                pos_local, softening=cfg.softening, interpret=interpret)
+            if n_shards == 1:
+                return own
+            pkt_pos = pos_local
+            pkt_f = jnp.zeros_like(pos_local)
+            for k in range(1, half + 1):
+                pkt_pos = jax.lax.ppermute(pkt_pos, BODY_AXIS, fwd)
+                pkt_f = jax.lax.ppermute(pkt_f, BODY_AXIS, fwd)
+                fa, fb = body_force_pair(
+                    pos_local, pkt_pos,
+                    softening=cfg.softening, tile=cfg.tile_i,
+                    interpret=interpret,
+                )
+                if n_shards % 2 == 0 and k == half:
+                    # Antipodal hop pairs each shard couple twice; keep the
+                    # visit on the lower-index half of the ring.
+                    keep = (jax.lax.axis_index(BODY_AXIS) < half).astype(
+                        fa.dtype)
+                    fa = fa * keep
+                    fb = fb * keep
+                own = own + fa
+                pkt_f = pkt_f + fb
+            # Return each packet's reactions to its owner (one permutation).
+            return own + jax.lax.ppermute(pkt_f, BODY_AXIS, back)
+
+        return force
+
     # Ring: rotate (pos, mass) shards around the mesh, one hop per shard.
     perm = [(k, (k + 1) % n_shards) for k in range(n_shards)]
 

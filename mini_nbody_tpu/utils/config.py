@@ -61,8 +61,10 @@ class SimConfig:
       tile_j: j-target block streamed per grid step (the analog of the
         1-per-cycle j-stream, ``src/top_level.vhd:233-254``).
       mesh_shape: devices along the body-sharding axis; None = single chip.
-      comm: cross-chip position exchange: "all_gather" or "ring" (ppermute,
-        overlapping each hop with the force compute on the resident shard).
+      comm: cross-chip position exchange: "all_gather", "ring" (ppermute,
+        one hop per shard, each ordered pair computed), or "ring_sym"
+        (symmetric half-ring: Newton's third law across shards — half the
+        compute, ~same ICI volume; unit-mass only).
       interpret: force Pallas interpret mode (CPU testing); None = auto
         (interpret unless running on real TPU).
       use_masses: apply per-body masses from BodyState.mass in the force law.
@@ -105,8 +107,12 @@ class SimConfig:
                 "backend 'sym' is single-chip only (sharded exchanges compute "
                 "rectangular shard-vs-shard blocks); use 'pallas' or 'mxu'"
             )
-        if self.comm not in ("all_gather", "ring"):
-            raise ValueError(f"comm must be 'all_gather' or 'ring', got {self.comm!r}")
+        if self.comm not in ("all_gather", "ring", "ring_sym"):
+            raise ValueError(
+                f"comm must be 'all_gather', 'ring' or 'ring_sym', got {self.comm!r}"
+            )
+        if self.comm == "ring_sym" and self.use_masses:
+            raise ValueError("comm 'ring_sym' is unit-mass only (use_masses=False)")
         if self.tile_i % 8 != 0:
             raise ValueError(f"tile_i must be a multiple of 8 (sublanes), got {self.tile_i}")
         if self.tile_j % 128 != 0:

@@ -100,3 +100,21 @@ def test_ring_symmetric_self_hop(mesh):
     np.testing.assert_allclose(
         np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
     )
+
+
+@pytest.mark.parametrize("p", [8, 5])
+def test_ring_sym_matches_single_chip(p):
+    # Symmetric half-ring (Newton's 3rd law across shards): even mesh (8)
+    # exercises the antipodal half-band masking; odd mesh (5) the clean case.
+    if len(jax.devices()) < p:
+        pytest.skip("needs devices")
+    m = make_mesh(p)
+    n = 520  # not divisible by 5 or 8: padding path too
+    state = init.uniform_random(jax.random.key(11), n)
+    cfg = SimConfig(n=n, dt=0.01, steps=4, backend="jnp", comm="ring_sym")
+    ref = simulate(cfg.replace(comm="ring"), state)
+    out = simulate_sharded(cfg, m, state)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
