@@ -76,13 +76,16 @@ def _vjp_pos(pos, g, mass, softening, row_chunk: int = 2048):
     return out[:n]
 
 
-def make_body_force_diff(force_impl, softening: float):
+def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
+                         interpret: bool = False, unit_mass: bool = False):
     """Wrap ``force_impl(pos, mass) -> (N,3)`` (square self-force, any
     backend, non-differentiable) into a custom-VJP differentiable function.
 
-    Forward runs the kernel; backward is the analytic pairwise VJP above.
-    Gradients flow to pos only (mass is treated as a static property; its
-    cotangent is zero)."""
+    Forward runs the kernel; backward is the analytic pairwise VJP —
+    either chunked jnp (backward="jnp"; portable, memory-bound ~1 G
+    pair-grads/s) or the Pallas backward kernel (backward="pallas";
+    ~100x faster on TPU, ops/vjp_kernel.py). Gradients flow to pos only
+    (mass is treated as a static property; its cotangent is zero)."""
 
     @jax.custom_vjp
     def body_force_diff(pos, mass):
@@ -93,7 +96,16 @@ def make_body_force_diff(force_impl, softening: float):
 
     def _bwd(res, g):
         pos, mass = res
-        return _vjp_pos(pos, g, mass, softening), jnp.zeros_like(mass)
+        if backward == "pallas":
+            from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_pallas
+
+            pos_bar = vjp_pos_pallas(
+                pos, g, None if unit_mass else mass,
+                softening=softening, interpret=interpret,
+            )
+        else:
+            pos_bar = _vjp_pos(pos, g, mass, softening)
+        return pos_bar, jnp.zeros_like(mass)
 
     body_force_diff.defvjp(_fwd, _bwd)
     return body_force_diff
@@ -101,7 +113,8 @@ def make_body_force_diff(force_impl, softening: float):
 
 def make_differentiable_force(cfg):
     """Differentiable ``force(pos, mass=None) -> (N,3)`` over the configured
-    kernel (SimConfig.backend), suitable for jax.grad / jax.vjp."""
+    kernel (SimConfig.backend), suitable for jax.grad / jax.vjp. The backward
+    uses the Pallas VJP kernel whenever the forward is a Pallas backend."""
     from mini_nbody_tpu.ops.force import make_force_fn
 
     inner = make_force_fn(cfg)
@@ -109,7 +122,11 @@ def make_differentiable_force(cfg):
     def impl(pos, mass):
         return inner(pos, pos, mass)
 
-    diff = make_body_force_diff(impl, float(cfg.softening))
+    backward = "jnp" if cfg.effective_backend() == "jnp" else "pallas"
+    diff = make_body_force_diff(
+        impl, float(cfg.softening), backward=backward,
+        interpret=cfg.resolve_interpret(), unit_mass=not cfg.use_masses,
+    )
 
     def force(pos, mass=None):
         if mass is None:

@@ -20,11 +20,14 @@ from mini_nbody_tpu.utils.config import SOFTENING
 
 @partial(jax.jit, static_argnames=("softening", "row_chunk"))
 def potential_energy(pos, mass, softening: float = SOFTENING,
-                     row_chunk: int = 2048):
+                     row_chunk: int | None = None):
     """U = -sum_{i<j} m_i m_j / sqrt(r_ij^2 + eps), matching the softened force
     law (the force here is exactly -grad of this potential). Processes i-rows
     in chunks so memory stays O(row_chunk * N) at any N."""
     n = pos.shape[0]
+    if row_chunk is None:
+        # Cap the (row_chunk, N) intermediate at ~64 MB.
+        row_chunk = max(8, min(2048, (1 << 24) // max(n, 1)))
     soft = jnp.asarray(softening, pos.dtype)
 
     def row_block(args):

@@ -1,0 +1,180 @@
+"""Pallas TPU kernel for the force VJP (the backward pass of bodyForce).
+
+The chunked-jnp backward in autodiff.py is correct but memory-bound
+(~1 G pair-grads/s at N=65536: it materializes (C, N, 3) broadcast
+intermediates in HBM). This kernel keeps everything in VMEM with the same
+i-resident/j-streamed structure as the forward kernels (~35 VPU ops per
+ordered pair -> ~100 G pair-grads/s expected on v5e).
+
+Math (see ops/autodiff.py for the derivation): with d = p_j - p_k,
+s = |d|^2 + eps, w = s^-3/2, u = s^-5/2, cotangent g:
+
+  pos_bar_k = sum_j m_j [ -w g_k + 3 u (g_k.d) d ]          (receiver)
+            + m_k sum_j [  w g_j - 3 u (g_j.d) d ]          (source)
+
+For unit masses both terms share u and fold into one fused pass:
+  pos_bar_k = sum_j [ 3 u ((g_k - g_j).d) d + w g_j ] - g_k sum_j w
+(the self term j = k cancels exactly inside, no masking needed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mini_nbody_tpu.utils.config import SOFTENING, round_up
+
+_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
+    pltpu, "TPUCompilerParams"
+)
+
+
+def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
+                acc_steps, unit_mass):
+    """One (k-tile, j-block) step of the backward pass."""
+    j = pl.program_id(1)
+
+    pk = pk_ref[:]  # (T, 3 or 4): positions (+ mass col in mass mode)
+    gk = gk_ref[:]  # (T, 3)
+    xk, yk, zk = pk[:, 0:1], pk[:, 1:2], pk[:, 2:3]
+    gkx, gky, gkz = gk[:, 0:1], gk[:, 1:2], gk[:, 2:3]
+
+    dx = pjt_ref[0:1, :] - xk  # (T, TJ)
+    dy = pjt_ref[1:2, :] - yk
+    dz = pjt_ref[2:3, :] - zk
+    s = dx * dx + dy * dy + (dz * dz + jnp.asarray(softening, dx.dtype))
+    inv = jax.lax.rsqrt(s)
+    inv2 = inv * inv
+    w = inv2 * inv
+    u = w * inv2
+
+    gjx = gjt_ref[0:1, :]
+    gjy = gjt_ref[1:2, :]
+    gjz = gjt_ref[2:3, :]
+
+    dot_gk_d = gkx * dx + gky * dy + gkz * dz  # (T, TJ)
+    dot_gj_d = gjx * dx + gjy * dy + gjz * dz
+
+    if unit_mass:
+        coeff = 3.0 * (u * (dot_gk_d - dot_gj_d))
+        tx = jnp.sum(coeff * dx + w * gjx, axis=1, keepdims=True)
+        ty = jnp.sum(coeff * dy + w * gjy, axis=1, keepdims=True)
+        tz = jnp.sum(coeff * dz + w * gjz, axis=1, keepdims=True)
+        sw = jnp.sum(w, axis=1, keepdims=True)
+        f = jnp.concatenate(
+            [tx - gkx * sw, ty - gky * sw, tz - gkz * sw], axis=1)
+    else:
+        mj = pjt_ref[3:4, :]  # (1, TJ)
+        mk = pk[:, 3:4]  # (T, 1)
+        # receiver: sum_j m_j (-w g_k + 3 u (g_k.d) d)
+        a = 3.0 * (u * mj * dot_gk_d)
+        smw = jnp.sum(w * mj, axis=1, keepdims=True)
+        rx = jnp.sum(a * dx, axis=1, keepdims=True) - gkx * smw
+        ry = jnp.sum(a * dy, axis=1, keepdims=True) - gky * smw
+        rz = jnp.sum(a * dz, axis=1, keepdims=True) - gkz * smw
+        # source: m_k sum_j (w g_j - 3 u (g_j.d) d)
+        b = 3.0 * (u * dot_gj_d)
+        sx = jnp.sum(w * gjx - b * dx, axis=1, keepdims=True)
+        sy = jnp.sum(w * gjy - b * dy, axis=1, keepdims=True)
+        sz = jnp.sum(w * gjz - b * dz, axis=1, keepdims=True)
+        f = jnp.concatenate(
+            [rx + mk * sx, ry + mk * sy, rz + mk * sz], axis=1)
+
+    if acc_steps == 1:
+        out_ref[:] = f
+    else:
+        @pl.when(j == 0)
+        def _init():
+            out_ref[:] = f
+
+        @pl.when(j > 0)
+        def _acc():
+            out_ref[:] = out_ref[:] + f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile_i", "tile_j", "interpret"),
+)
+def vjp_pos_pallas(
+    pos,
+    g,
+    mass=None,
+    softening: float = SOFTENING,
+    tile_i: int = 256,
+    tile_j: int = 2048,
+    interpret: bool = False,
+):
+    """pos_bar for cotangent g of F(pos) (square self-force), Pallas kernel.
+
+    Zero-padding the tails is exact here: padded rows are sliced off, and
+    padded j columns contribute w*g_j = 0 and coeff*(d) terms with g = 0 on
+    both sides only when mass-weighted... in unit-mass mode a padded j at the
+    origin would contribute w g_j = 0 (g_j = 0) but ALSO -g_k sum w and
+    3u (g_k.d) d with nonzero w — so tails must still be inert: we pad with
+    zero cotangents AND zero masses in mass mode, and in unit-mass mode rely
+    on far-padding (w underflows to 0).
+    """
+    from mini_nbody_tpu.utils.config import FAR
+
+    n = pos.shape[0]
+    unit_mass = mass is None
+    pos = pos.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+
+    tile_i = min(tile_i, round_up(n, 8))
+    tile_j = min(tile_j, round_up(n, 128))
+    # pad to a common multiple of both tilings
+    np_ = round_up(round_up(n, tile_i), tile_j)
+
+    if np_ != n:
+        pad = np_ - n
+        pos = jnp.pad(pos, ((0, pad), (0, 0)),
+                      constant_values=FAR if unit_mass else 0.0)
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        if not unit_mass:
+            mass = jnp.pad(mass.astype(jnp.float32), (0, pad))
+
+    if unit_mass:
+        pk = pos
+        pjt_rows = [pos.T]
+    else:
+        pk = jnp.concatenate([pos, mass[:, None]], axis=1)  # (Np, 4)
+        pjt_rows = [pos.T, mass[None, :]]
+    pjt = jnp.concatenate(pjt_rows, axis=0) if len(pjt_rows) > 1 else pjt_rows[0]
+    gjt = g.T  # (3, Np)
+
+    grid = (np_ // tile_i, np_ // tile_j)
+    pairs = np_ * np_
+    out = pl.pallas_call(
+        functools.partial(_vjp_kernel, softening=float(softening),
+                          acc_steps=grid[1], unit_mass=unit_mass),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, pk.shape[1]), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pjt.shape[0], tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+        compiler_params=_CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=35 * pairs,
+            bytes_accessed=(np_ * 12) * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(pk, g, pjt, gjt)
+    return out[:n]

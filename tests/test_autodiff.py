@@ -121,3 +121,36 @@ def test_grad_through_trajectory():
     gb = np.asarray(jax.grad(rollout_ref)(s.pos))
     scale = np.abs(gb).max()
     np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-3 * scale)
+
+
+class TestPallasVJPKernel:
+    def _check(self, n, mass):
+        from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_pallas
+
+        s = init.uniform_random(jax.random.key(n), n)
+        g = jax.random.normal(jax.random.key(n + 1), (n, 3), jnp.float32)
+        interp = jax.default_backend() != "tpu"
+        m = s.mass * 1.5 if mass else None
+        pb = vjp_pos_pallas(s.pos, g, m, softening=1e-2,
+                            tile_i=64, tile_j=128, interpret=interp)
+
+        def f(p):
+            return body_force_jnp(p, p, m, softening=1e-2)
+
+        _, vjp = jax.vjp(f, s.pos)
+        ref = np.asarray(vjp(g)[0])
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(pb), ref,
+                                   rtol=1e-3, atol=1e-4 * scale)
+
+    def test_unit_mass(self):
+        self._check(256, mass=False)
+
+    def test_masses(self):
+        self._check(256, mass=True)
+
+    def test_ragged_far_padding(self):
+        self._check(300, mass=False)
+
+    def test_ragged_zero_padding_masses(self):
+        self._check(300, mass=True)
