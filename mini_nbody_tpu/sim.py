@@ -23,12 +23,22 @@ from mini_nbody_tpu.ops.integrators import INTEGRATORS, initial_acc
 from mini_nbody_tpu.utils.config import SimConfig
 
 
-def make_step_fn(cfg: SimConfig):
+def make_step_fn(cfg: SimConfig, differentiable: bool = False):
     """Build ``step((state, acc)) -> (state, acc)`` for one dt of config cfg.
 
     Single-chip version; for mesh-sharded steps see parallel.sharded.
+    differentiable=True attaches the analytic force VJP (ops/autodiff), so
+    jax.grad flows through whole trajectories regardless of backend.
     """
-    force = make_force_fn(cfg)
+    if differentiable:
+        from mini_nbody_tpu.ops.autodiff import make_differentiable_force
+
+        diff = make_differentiable_force(cfg)
+
+        def force(pos_i, pos_j, mass_j=None):
+            return diff(pos_i, mass_j)
+    else:
+        force = make_force_fn(cfg)
     integ = INTEGRATORS[cfg.integrator]
 
     def step(carry):

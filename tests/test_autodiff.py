@@ -154,3 +154,23 @@ class TestPallasVJPKernel:
 
     def test_ragged_zero_padding_masses(self):
         self._check(300, mass=True)
+
+
+def test_differentiable_step_api():
+    from mini_nbody_tpu.sim import init_carry, make_step_fn
+
+    cfg = SimConfig(n=64, backend="jnp", softening=1e-2, dt=1e-3)
+    s = init.uniform_random(jax.random.key(9), 64)
+    step = make_step_fn(cfg, differentiable=True)
+
+    def loss(pos0):
+        from mini_nbody_tpu.models.state import BodyState
+
+        carry = init_carry(cfg, BodyState(pos=pos0, vel=s.vel, mass=s.mass))
+        for _ in range(3):
+            carry = step(carry)
+        return jnp.sum(carry[0].pos ** 2)
+
+    g = jax.grad(loss)(s.pos)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
