@@ -16,9 +16,10 @@ which bounds the body count per kernel launch to what VMEM holds
 ``chunk`` bodies at the XLA level:
 
   * self-chunk kernel: diagonal-band traversal of the chunk's block triangle
-    — grid (d, i) computes block (i, (i+d) mod nb), covering each unordered
+    — grid (i, d) computes block (i, (i+d) mod nb), covering each unordered
     block pair exactly once with NO skipped steps (only the wrap band at
-    d = nb/2 is half-masked when nb is even);
+    d = nb/2 is half-masked when nb is even); i outer keeps the rows output
+    on the consecutive-revisit accumulation path;
   * cross-chunk kernel (a < b): plain rectangular grid, rows accumulate to
     chunk a (standard blocked output, consecutive along the inner axis),
     reactions accumulate to chunk b's constant-index buffer.
