@@ -37,8 +37,12 @@ def plummer(key: jax.Array, n: int, dtype=jnp.float32, total_mass: float = 1.0) 
     m = jnp.full((n,), total_mass / n, dtype)
 
     # Radius from inverse-CDF of the Plummer cumulative mass profile.
-    u = jax.random.uniform(k1, (n,), jnp.float32, minval=1e-6, maxval=1.0 - 1e-6)
-    r = (u ** (-2.0 / 3.0) - 1.0) ** -0.5
+    # maxval stays far enough from 1 that u^(-2/3) - 1 cannot round to 0 in
+    # fp32 (at maxval 1-1e-6 it does for some of ~1e5+ samples -> inf radii);
+    # 1-1e-4 truncates the cluster at r ~ 122 (a standard finite-radius cut),
+    # and the clamp bounds stragglers at r = 100.
+    u = jax.random.uniform(k1, (n,), jnp.float32, minval=1e-6, maxval=1.0 - 1e-4)
+    r = jnp.minimum((u ** (-2.0 / 3.0) - 1.0) ** -0.5, 100.0)
 
     def _isotropic(key, radius):
         kz, kphi = jax.random.split(key)

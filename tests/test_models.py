@@ -67,3 +67,12 @@ def test_two_cluster_preset():
     # two spatially separated groups
     assert (x < -1).sum() > 50 and (x > 1).sum() > 50
     assert abs(float(np.asarray(s.mass).sum()) - 1.0) < 1e-5
+
+
+def test_plummer_finite_at_scale():
+    # Regression: the inverse-CDF radius produced inf for u within fp32
+    # rounding of 1 — appeared only at large sample counts (~1e5+).
+    s = init.plummer(jax.random.key(0), 300000)
+    a = np.asarray(s.pos)
+    assert np.isfinite(a).all()
+    assert np.abs(a).max() < 200.0
