@@ -110,8 +110,9 @@ def cmd_run(args):
     if args.energy:
         report["energy"] = float(diag.total_energy(out, cfg.softening))
     if args.save:
-        ckpt.save(args.save, out, step=start_step + cfg.steps, cfg=cfg)
-        report["checkpoint"] = args.save
+        written = ckpt.save(args.save, out, step=start_step + cfg.steps,
+                            cfg=cfg)
+        report["checkpoint"] = str(written)
     print(json.dumps(report))
 
 

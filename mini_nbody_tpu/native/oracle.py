@@ -93,7 +93,10 @@ def body_force_oracle(pos_i, pos_j, mass_j=None, softening: float = 1e-9) -> np.
     pj = _as_f32(pos_j)
     ni, nj = pi.shape[0], pj.shape[0]
     out = np.empty((ni, 3), np.float64)
-    mp = _fptr(_as_f32(mass_j)) if mass_j is not None else None
+    # Keep the converted mass array alive past the C call: _fptr(_as_f32(m))
+    # alone drops the only reference to the conversion before ctypes runs.
+    m = _as_f32(mass_j) if mass_j is not None else None
+    mp = _fptr(m) if m is not None else None
     lib.body_force_f64(
         _fptr(pi), _fptr(pj), mp, ctypes.c_double(softening),
         ni, nj, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -106,7 +109,8 @@ def potential_energy_oracle(pos, mass=None, softening: float = 1e-9) -> float:
     if lib is None:
         raise RuntimeError(f"native oracle unavailable: {_build_error}")
     p = _as_f32(pos)
-    mp = _fptr(_as_f32(mass)) if mass is not None else None
+    m = _as_f32(mass) if mass is not None else None  # keep alive (see above)
+    mp = _fptr(m) if m is not None else None
     return float(
         lib.potential_energy_f64(_fptr(p), mp, ctypes.c_double(softening),
                                  p.shape[0])
@@ -124,7 +128,8 @@ def euler_steps_oracle(pos, vel, mass=None, dt: float = 0.01, steps: int = 10,
     p = _as_f32(pos).copy()
     v = _as_f32(vel).copy()
     n = p.shape[0]
-    mp = _fptr(_as_f32(mass)) if mass is not None else None
+    m = _as_f32(mass) if mass is not None else None  # keep alive (see above)
+    mp = _fptr(m) if m is not None else None
     scratch = np.empty((n, 3), np.float64)
     lib.euler_steps_f64(
         _fptr(p), _fptr(v), mp, ctypes.c_double(softening),

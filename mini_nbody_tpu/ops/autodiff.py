@@ -7,10 +7,18 @@ u = s^(-5/2), and L = sum_i g_i . F_i:
   receiver (i = k):  dL/dp_k += sum_j m_j [ -w g_k + 3 u (g_k . d_kj) d_kj ]
   source   (j = k):  dL/dp_k += m_k sum_i [  w g_i - 3 u (g_i . d_kj(i)) d ]
 
-(the self term i = j = k cancels exactly between the two, so diagonals need
-no masking). The VJP is itself a pairwise O(N^2) reduction, evaluated here
-as chunked jnp (XLA-fused, memory O(chunk * N)); a hand-written Pallas
-backward kernel is a future optimization.
+The self term i = j = k cancels ANALYTICALLY between the two (+-w g_k), but
+NOT in floating point: at the default SOFTENING=1e-9 the self weight
+w = eps^-1.5 ~ 3e13 swamps the fp32 accumulator and the cancellation residue
+is O(ulp(w |g|)) — measured max relative gradient error ~1.0 without a mask.
+So w and u are zeroed on exactly-coincident pairs (d == 0, detected as the
+pre-softening |d|^2 == 0 — see the identical mask in ops/mxu_force.py); the
+self pair's true gradient contribution is identically zero since its force
+term w(|d|^2+eps) d vanishes as a function of p_k.
+
+The VJP is itself a pairwise O(N^2) reduction, evaluated here as chunked jnp
+(XLA-fused, memory O(chunk * N)); ops/vjp_kernel.py is the fast Pallas
+backward.
 
 The reference, being fixed-function hardware, has no notion of
 differentiation — this is TPU/JAX-native capability on top of parity
@@ -32,13 +40,19 @@ def _vjp_pos(pos, g, mass, softening, row_chunk: int = 2048):
     def block(args):
         pos_c, g_c, m_c = args
         d = pos[None, :, :] - pos_c[:, None, :]  # (C, N, 3): d[k, j] = p_j - p_k
-        s = jnp.sum(d * d, axis=-1) + soft
+        d2 = jnp.sum(d * d, axis=-1)
+        s = d2 + soft
         # rsqrt-based powers: s**-p lowers to exp/log on TPU (~1e-3 relative
         # after the near-cancelling sums below); hardware rsqrt is ~1 ulp.
         inv = jax.lax.rsqrt(s)
         inv2 = inv * inv
         w = inv2 * inv          # s^(-3/2)
         u = w * inv2            # s^(-5/2)
+        # Self/coincident-pair mask (module docstring): without it the
+        # eps^-1.5 self weight destroys the +-w g_k cancellation in fp32.
+        zero = d2 == 0.0
+        w = jnp.where(zero, 0.0, w)
+        u = jnp.where(zero, 0.0, u)
         m_w = mass[None, :] * w
         m_u = mass[None, :] * u
         # receiver side: sum_j m_j (-w g_k + 3 u (g_k . d) d)

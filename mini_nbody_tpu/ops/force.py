@@ -59,8 +59,17 @@ def body_force(
                 "backend 'sym' is unit-mass only (use_masses=False); "
                 "mass configs use 'pallas' or 'mxu'"
             )
-        if pos_i is not pos_j and pos_i.shape != pos_j.shape:
-            raise ValueError("backend 'sym' requires square pos_i == pos_j")
+        if pos_i is not pos_j:
+            # Identity, not just shape: a distinct same-shape pos_j would be
+            # silently ignored (the kernel computes self-forces of pos_i).
+            # Values can't be compared at trace time, so require the same
+            # array object; rectangular cross-set forces go through
+            # body_force_pair / the streaming backends.
+            raise ValueError(
+                "backend 'sym' computes square self-forces only: pos_j must "
+                "be the same array object as pos_i (got a distinct array; "
+                "use backend='pallas'/'mxu' for rectangular calls)"
+            )
         # The symmetric kernel has its own tuned tiling (tile=1024 with
         # 131072-body chunks measured fastest on v5e: 346 vs 250 GInter/s at
         # tile=512); cfg tile_i/tile_j target the streaming kernels, so they

@@ -29,9 +29,13 @@ fp32-accumulate"):
 Self/coincident pairs: their true contribution is zero, but their huge
 w = eps^-1.5 would swamp the fp32 accumulator (the ulp(w*|p|) residue
 survives the epilogue subtraction — measured 3e6 relative error without the
-mask). r2 == eps exactly iff d == 0, so a single jnp.where restores exact
-semantics (the reference computes-not-skips j==i for the same zero result,
-SURVEY.md §0).
+mask). The mask tests the PRE-softening |d|^2 == 0, not r2 == eps: in fp32
+the latter is also satisfied by genuinely near-coincident distinct pairs
+(|d| < ~sqrt(ulp(eps)/2) ~ 6e-9 at eps=1e-9), which would silently zero a
+real ~eps^-1.5 |d| force. |d|^2 sums non-negative squares, so it is 0 iff
+every component square is 0 — i.e. d == 0 exactly for any position scale
+above the fp32 subnormal floor (|d_c| < 2^-75). This matches the reference,
+which computes-not-skips j==i for the same zero result (SURVEY.md §0).
 
 Structure mirrors the reference datapath like pallas_force.py: i-tile
 resident (``src/top_level.vhd:83``), j-blocks streamed
@@ -72,11 +76,12 @@ def _hybrid_kernel(pi_ref, pjt_ref, vj_ref, out_ref, acc_ref, *, softening,
     dy = pjt_ref[1:2, :] - yi
     dz = pjt_ref[2:3, :] - zi
     soft = jnp.asarray(softening, dx.dtype)
-    r2 = dx * dx + dy * dy + (dz * dz + soft)
+    d2 = dx * dx + dy * dy + dz * dz
+    r2 = d2 + soft
     inv = jax.lax.rsqrt(r2)
     w = (inv * inv) * inv
-    # Exact-coincidence mask — see module docstring. r2 == soft iff d == 0.
-    w = jnp.where(r2 == soft, jnp.asarray(0.0, w.dtype), w)
+    # Exact-coincidence mask — see module docstring. d2 == 0 iff d == 0.
+    w = jnp.where(d2 == 0.0, jnp.asarray(0.0, w.dtype), w)
     if not unit_mass:
         w = w * pjt_ref[3:4, :]
 

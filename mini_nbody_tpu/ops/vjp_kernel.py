@@ -14,7 +14,11 @@ s = |d|^2 + eps, w = s^-3/2, u = s^-5/2, cotangent g:
 
 For unit masses both terms share u and fold into one fused pass:
   pos_bar_k = sum_j [ 3 u ((g_k - g_j).d) d + w g_j ] - g_k sum_j w
-(the self term j = k cancels exactly inside, no masking needed).
+
+The self term j = k cancels only ANALYTICALLY: at SOFTENING=1e-9 its weight
+w = eps^-1.5 ~ 3e13 swamps the fp32 running sums (measured 64x relative
+gradient error unmasked), so w and u are zeroed on exactly-coincident pairs
+(pre-softening |d|^2 == 0), matching ops/autodiff.py and ops/mxu_force.py.
 """
 
 from __future__ import annotations
@@ -46,11 +50,17 @@ def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
     dx = pjt_ref[0:1, :] - xk  # (T, TJ)
     dy = pjt_ref[1:2, :] - yk
     dz = pjt_ref[2:3, :] - zk
-    s = dx * dx + dy * dy + (dz * dz + jnp.asarray(softening, dx.dtype))
+    d2 = dx * dx + dy * dy + dz * dz
+    s = d2 + jnp.asarray(softening, dx.dtype)
     inv = jax.lax.rsqrt(s)
     inv2 = inv * inv
     w = inv2 * inv
     u = w * inv2
+    # Coincident-pair mask (module docstring): the self pair's analytic
+    # cancellation fails in fp32 at small softening.
+    zero = d2 == 0.0
+    w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
+    u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
 
     gjx = gjt_ref[0:1, :]
     gjy = gjt_ref[1:2, :]

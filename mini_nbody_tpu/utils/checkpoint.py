@@ -22,9 +22,19 @@ from mini_nbody_tpu.models.state import BodyState
 from mini_nbody_tpu.utils.config import SimConfig
 
 
-def save(path, state: BodyState, step: int = 0, cfg: Optional[SimConfig] = None):
-    """Write a checkpoint. Device arrays are fetched to host."""
+def _normalize(path) -> Path:
+    # np.savez appends '.npz' when missing; normalize up front so save()
+    # reports the file that actually exists and load() finds it.
     path = Path(path)
+    return path if path.suffix == ".npz" else path.with_suffix(
+        path.suffix + ".npz")
+
+
+def save(path, state: BodyState, step: int = 0,
+         cfg: Optional[SimConfig] = None) -> Path:
+    """Write a checkpoint; returns the actual path written (suffix
+    normalized to .npz). Device arrays are fetched to host."""
+    path = _normalize(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     meta = {"step": int(step)}
     if cfg is not None:
@@ -36,11 +46,12 @@ def save(path, state: BodyState, step: int = 0, cfg: Optional[SimConfig] = None)
         mass=np.asarray(jax.device_get(state.mass)),
         meta=json.dumps(meta),
     )
+    return path
 
 
 def load(path) -> Tuple[BodyState, int, Optional[dict]]:
     """Read a checkpoint -> (state, step, config_dict_or_None)."""
-    with np.load(Path(path), allow_pickle=False) as z:
+    with np.load(_normalize(path), allow_pickle=False) as z:
         state = BodyState.create(z["pos"], z["vel"], z["mass"])
         meta = json.loads(str(z["meta"]))
     return state, meta.get("step", 0), meta.get("config")

@@ -51,6 +51,58 @@ def test_grad_with_masses():
     np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-4 * scale)
 
 
+def _ref_vjp_f64(pos, g, mass, softening):
+    """fp64 reference pos_bar with the self pair explicitly excluded.
+
+    Masking the diagonal does not change the forward values (the self term is
+    w * 0) but makes fp64 autodiff yield the exact gradient, free of the
+    +-eps^-1.5 g_k cancellation residue (ADVICE.md round-1 high finding)."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs x64 (enabled only in forced-CPU test runs)")
+    n = pos.shape[0]
+    pos64 = jnp.asarray(np.asarray(pos), jnp.float64)
+    g64 = jnp.asarray(np.asarray(g), jnp.float64)
+    m64 = jnp.asarray(np.asarray(mass), jnp.float64)
+    eye = jnp.eye(n, dtype=jnp.float64)
+
+    def f(p):
+        d = p[None, :, :] - p[:, None, :]
+        r2 = jnp.sum(d * d, axis=-1) + softening
+        w = r2 ** -1.5 * m64[None, :] * (1.0 - eye)
+        return jnp.sum(d * w[:, :, None], axis=1)
+
+    _, vjp = jax.vjp(f, pos64)
+    return np.asarray(vjp(g64)[0])
+
+
+@pytest.mark.parametrize("use_masses", [False, True])
+def test_grad_at_default_softening(use_masses):
+    """Self-pair cancellation fails catastrophically in fp32 at the default
+    SOFTENING=1e-9 (w_self ~ 3e13) unless coincident pairs are masked; both
+    backward paths must stay accurate there (ADVICE.md round-1 high)."""
+    from mini_nbody_tpu.ops.autodiff import _vjp_pos
+    from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_pallas
+    from mini_nbody_tpu.utils.config import SOFTENING
+
+    n = 256
+    s = init.plummer(jax.random.key(11), n) if use_masses else \
+        init.uniform_random(jax.random.key(11), n)
+    g = jax.random.normal(jax.random.key(12), (n, 3), jnp.float32)
+    ref = _ref_vjp_f64(s.pos, g, s.mass, SOFTENING)
+    scale = np.abs(ref).max()
+
+    got_jnp = np.asarray(_vjp_pos(s.pos, g, s.mass, SOFTENING))
+    np.testing.assert_allclose(got_jnp, ref, rtol=1e-3, atol=1e-4 * scale)
+
+    interp = jax.default_backend() != "tpu"
+    got_pal = np.asarray(
+        vjp_pos_pallas(s.pos, g, s.mass if use_masses else None,
+                       softening=SOFTENING, tile_i=64, tile_j=128,
+                       interpret=interp)
+    )
+    np.testing.assert_allclose(got_pal, ref, rtol=1e-3, atol=1e-4 * scale)
+
+
 def test_vjp_chunked_matches_unchunked():
     from mini_nbody_tpu.ops.autodiff import _vjp_pos
 

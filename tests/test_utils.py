@@ -47,6 +47,19 @@ def test_checkpoint_roundtrip(tmp_path):
     assert restored == cfg
 
 
+def test_checkpoint_suffixless_path_roundtrip(tmp_path):
+    # np.savez appends '.npz' when missing; save must report the real file
+    # and load must find it from the same suffixless argument (--save ck ...
+    # --resume ck used to FileNotFoundError, ADVICE.md round 1).
+    state = init.uniform_random(jax.random.key(1), 16)
+    path = tmp_path / "ck"
+    written = ckpt.save(path, state, step=3)
+    assert written.exists() and written.suffix == ".npz"
+    s2, step, _ = ckpt.load(path)
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(s2.pos), np.asarray(state.pos))
+
+
 def test_shmoo_rows_and_csv():
     cfg = SimConfig(n=256, backend="jnp")
     rows = shmoo.sweep(cfg, [256, 512], reps=1)
