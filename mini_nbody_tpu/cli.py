@@ -140,13 +140,14 @@ def cmd_bench(args):
         ndev = 1
     sec = time_step_fn(step, carry, n=cfg.n, reps=args.reps)
     t = Throughput(n=cfg.n, steps=1, seconds=sec, n_devices=ndev)
+    from mini_nbody_tpu.utils.harness import roofline_path
+
     eff = cfg.effective_backend(sharded=bool(cfg.mesh_shape))
-    path = {"mxu": "mxu", "sym": "sym"}.get(eff, "vpu")
     print(json.dumps({
         "device": jax.devices()[0].device_kind,
         "backend": eff,
         "pair_dtype": cfg.pair_dtype,
-        **t.report(path=path),
+        **t.report(path=roofline_path(cfg, sharded=bool(cfg.mesh_shape))),
     }))
 
 

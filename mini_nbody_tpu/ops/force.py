@@ -54,11 +54,6 @@ def body_force(
     if backend == "sym":
         from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
 
-        if mass_j is not None:
-            raise ValueError(
-                "backend 'sym' is unit-mass only (use_masses=False); "
-                "mass configs use 'pallas' or 'mxu'"
-            )
         if pos_i is not pos_j:
             # Identity, not just shape: a distinct same-shape pos_j would be
             # silently ignored (the kernel computes self-forces of pos_i).
@@ -75,7 +70,7 @@ def body_force(
         # tile=512); cfg tile_i/tile_j target the streaming kernels, so they
         # are deliberately not forwarded here.
         return body_force_symmetric(
-            pos_i, softening=softening, interpret=interpret,
+            pos_i, mass_j, softening=softening, interpret=interpret,
         )
     raise ValueError(f"unknown force backend {backend!r}")
 

@@ -26,12 +26,19 @@ which bounds the body count per kernel launch to what VMEM holds
 
   force = sum of per-chunk row pieces + transposed column pieces (cheap XLA).
 
-Unit-mass only (reference semantics, ``src/fxyz.vhd:120-127``): per-body
-masses would need m_j on the row side but m_i on the column side, costing the
-multiplies the symmetry saves; mass configs use the non-symmetric kernels.
-Tails use far-padding (w underflows to exactly 0). Physics otherwise
-identical to pallas_force.py (self pairs computed-not-skipped, contributing
-exactly 0 — SURVEY.md §0).
+Mass mode: per-body masses need m_j on the row side and m_i on the column
+side — d*w computed once per dimension, then scaled both ways (~9 extra VPU
+ops per unordered pair incl. a displacement recompute that keeps the live
+VMEM set at 3 (T,T) buffers), far cheaper than the ~14-op distance+rsqrt
+recomputation the symmetry saves. Measured on v5e at N=1M: 236.9 GInter/s
+fp32-exact (tile=896) vs 173 for the direct kernel with masses and 242 for
+mxu-bf16 (which carries ~3e-3 force error) — the fastest exact-fp32 mass
+path. The mass column rides in the position block (packed (T,4) / (4,T)),
+generalizing the reference's accumulate ``src/fxyz.vhd:120-127`` which has
+no mass factor. Position tails use far-padding (w underflows to exactly 0)
+with zero-mass padding in mass mode. Physics otherwise identical to
+pallas_force.py (self pairs computed-not-skipped, contributing exactly 0 —
+SURVEY.md §0).
 """
 
 from __future__ import annotations
@@ -50,8 +57,12 @@ _CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
 )
 
 
-def _pair_block(pi, pjt, softening, fast):
-    """(T,3) x (3,T) -> row sums f (T,3) and column sums g (3,T) of d*w."""
+def _pair_block(pi, pjt, softening, fast, masses):
+    """Row sums f (T,3) and column sums g (3,T) of the pair products.
+
+    Unit-mass: pi (T,3) x pjt (3,T), sums of d*w. Mass mode: pi (T,4) /
+    pjt (4,T) with the mass packed as the 4th component; rows are weighted
+    by m_j, columns by m_i (d*w computed once, scaled twice)."""
     xi, yi, zi = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
     dx = pjt[0:1, :] - xi  # (T, T)
     dy = pjt[1:2, :] - yi
@@ -62,6 +73,22 @@ def _pair_block(pi, pjt, softening, fast):
     else:
         inv = jax.lax.rsqrt(r2)
         w = (inv * inv) * inv
+    if masses:
+        # VMEM-liveness-shaped: recompute each displacement component (one
+        # subtract) instead of holding dx/dy/dz across both reductions, so
+        # only w stays persistent (+ one d/t buffer + one product temp =
+        # 3 live (T,T) buffers vs 5 for the straightforward form, which
+        # blows the 16 MB budget at tile=1024). ~+9 VPU ops per unordered
+        # pair vs unit-mass — still far below the ~14-op recomputation the
+        # pair symmetry saves.
+        mj = pjt[3:4, :]  # (1, T)
+        mi = pi[:, 3:4]   # (T, 1)
+        fs, gs = [], []
+        for c, pc in ((0, xi), (1, yi), (2, zi)):
+            t = (pjt[c:c + 1, :] - pc) * w
+            fs.append(jnp.sum(t * mj, axis=1, keepdims=True))
+            gs.append(jnp.sum(t * mi, axis=0, keepdims=True))
+        return jnp.concatenate(fs, axis=1), jnp.concatenate(gs, axis=0)
     dxw = dx * w
     dyw = dy * w
     dzw = dz * w
@@ -77,7 +104,7 @@ def _pair_block(pi, pjt, softening, fast):
 
 
 def _tri_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
-                fast, nb):
+                fast, nb, masses):
     """Self-chunk diagonal-band step: block (i, (i+d) mod nb) at grid (i, d).
 
     i is the OUTER grid dim so the (tile,3) rows block accumulates over
@@ -101,7 +128,7 @@ def _tri_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
 
     @pl.when(active)
     def _work():
-        f, g = _pair_block(pi_ref[:], pjt_ref[:], softening, fast)
+        f, g = _pair_block(pi_ref[:], pjt_ref[:], softening, fast, masses)
 
         @pl.when(d == 0)
         def _rows_init():
@@ -122,7 +149,7 @@ def _tri_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
 
 
 def _cross_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
-                  fast):
+                  fast, masses):
     """Cross-chunk step (i in chunk a, j in chunk b, a != b): all blocks active."""
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -131,7 +158,7 @@ def _cross_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
     def _zero_cols():
         colsT_ref[:] = jnp.zeros_like(colsT_ref)
 
-    f, g = _pair_block(pi_ref[:], pjt_ref[:], softening, fast)
+    f, g = _pair_block(pi_ref[:], pjt_ref[:], softening, fast, masses)
 
     @pl.when(j == 0)
     def _rows_init():
@@ -164,22 +191,31 @@ def _common_params(pairs, rows_bytes, cols_bytes):
 )
 def body_force_symmetric(
     pos,
+    mass=None,
     softening: float = SOFTENING,
     tile: int = 1024,
     chunk: int = 131072,
     interpret: bool = False,
 ):
-    """All-pairs forces on pos (N,3), unit masses, each pair computed once.
+    """All-pairs forces on pos (N,3), each pair computed once. mass=None is
+    the unit-mass fast path; (N,) masses ride as a packed 4th component
+    (rows weighted by m_j, reactions by m_i — module docstring).
 
     N beyond one chunk is decomposed into nc equal tile-aligned chunks and
     driven by two lax.scan loops (one over self chunks, one over cross chunk
     pairs), so compile cost is constant in N — two Mosaic kernels total.
     """
     n = pos.shape[0]
+    masses = mass is not None
     pos = pos.astype(jnp.float32)
 
+    if masses:
+        # Mass mode keeps one more (T,T) temporary live (w + d/t + product);
+        # tile=1024 exceeds the 16 MB VMEM budget, 896 is the largest fit
+        # (measured 236.9 GInter/s at N=1M on v5e vs 222.8 at 768).
+        tile = min(tile, 896)
     tile = min(tile, round_up(n, 8))
-    # Mosaic requires the (3, tile) block's lane dim to be a multiple of 128
+    # Mosaic requires the (k, tile) block's lane dim to be a multiple of 128
     # unless the block covers the whole array; interpret mode is laxer.
     if not interpret and tile < round_up(n, 8):
         tile = round_up(tile, 128)
@@ -190,7 +226,13 @@ def body_force_symmetric(
     np_ = nc * c
     if np_ != n:
         pos = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=FAR)
-    pjt = pos.T  # (3, Np)
+    if masses:
+        m = mass.astype(jnp.float32)
+        if np_ != n:
+            m = jnp.pad(m, (0, np_ - n))  # zero-mass tails: doubly inert
+        pos = jnp.concatenate([pos, m[:, None]], axis=1)  # (Np, 4)
+    k = pos.shape[1]  # 3 unit-mass, 4 packed mass
+    pjt = pos.T  # (k, Np)
 
     nb = c // tile
     fast = float(softening) >= 1e-12
@@ -200,11 +242,11 @@ def body_force_symmetric(
     nd = nb // 2 + 1
     tri_call = pl.pallas_call(
         functools.partial(_tri_kernel, softening=float(softening), tile=tile,
-                          fast=fast, nb=nb),
+                          fast=fast, nb=nb, masses=masses),
         grid=(nb, nd),
         in_specs=[
-            pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
-            pl.BlockSpec((3, tile),
+            pl.BlockSpec((tile, k), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((k, tile),
                          lambda i, d: (0, jax.lax.rem(i + d, jnp.int32(nb))),
                          memory_space=vm),
         ],
@@ -221,11 +263,11 @@ def body_force_symmetric(
     )
     cross_call = pl.pallas_call(
         functools.partial(_cross_kernel, softening=float(softening),
-                          tile=tile, fast=fast),
+                          tile=tile, fast=fast, masses=masses),
         grid=(nb, nb),
         in_specs=[
-            pl.BlockSpec((tile, 3), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((3, tile), lambda i, j: (0, j), memory_space=vm),
+            pl.BlockSpec((tile, k), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((k, tile), lambda i, j: (0, j), memory_space=vm),
         ],
         out_specs=[
             pl.BlockSpec((tile, 3), lambda i, j: (i, 0), memory_space=vm),
@@ -260,8 +302,8 @@ def body_force_symmetric(
     def tri_body(carry, off):
         rows, cols = carry
         zero = jnp.zeros((), off.dtype)
-        pa = jax.lax.dynamic_slice(pos, (off, zero), (c, 3))
-        pat = jax.lax.dynamic_slice(pjt, (zero, off), (3, c))
+        pa = jax.lax.dynamic_slice(pos, (off, zero), (c, k))
+        pat = jax.lax.dynamic_slice(pjt, (zero, off), (k, c))
         r, ct = tri_call(pa, pat)
         return (add_rows(rows, off, r), add_cols(cols, off, ct)), None
 
@@ -279,8 +321,8 @@ def body_force_symmetric(
     def cross_body(carry, ab):
         rows, cols = carry
         zero = jnp.zeros((), ab.dtype)
-        pa = jax.lax.dynamic_slice(pos, (ab[0], zero), (c, 3))
-        pbt = jax.lax.dynamic_slice(pjt, (zero, ab[1]), (3, c))
+        pa = jax.lax.dynamic_slice(pos, (ab[0], zero), (c, k))
+        pbt = jax.lax.dynamic_slice(pjt, (zero, ab[1]), (k, c))
         r, ct = cross_call(pa, pbt)
         return (add_rows(rows, ab[0], r), add_cols(cols, ab[1], ct)), None
 
@@ -299,22 +341,30 @@ def body_force_symmetric(
 def body_force_pair(
     pos_a,
     pos_b,
+    mass_a=None,
+    mass_b=None,
     softening: float = SOFTENING,
     tile: int = 1024,
     interpret: bool = False,
 ):
-    """Forces between two DISJOINT unit-mass body sets, each cross pair
-    computed once: returns (F_on_a, F_on_b) with F_on_b the reactions.
+    """Forces between two DISJOINT body sets, each cross pair computed once:
+    returns (F_on_a, F_on_b) with F_on_b the reactions. Masses optional
+    (both or neither): F_on_a weighted by m_b, F_on_b by m_a.
 
     The building block of the symmetric half-ring exchange
     (parallel/sharded.py): a traveling position packet accumulates its
     reaction forces here while the resident shard accumulates its rows.
     Intra-set pairs are NOT computed (use body_force_symmetric for those).
     """
+    if (mass_a is None) != (mass_b is None):
+        raise ValueError("body_force_pair needs both masses or neither")
+    masses = mass_a is not None
     na, nb_n = pos_a.shape[0], pos_b.shape[0]
     pos_a = pos_a.astype(jnp.float32)
     pos_b = pos_b.astype(jnp.float32)
 
+    if masses:
+        tile = min(tile, 896)  # VMEM budget — see body_force_symmetric
     tile_a = min(tile, round_up(na, 8))
     tile_b = min(tile, round_up(nb_n, 8))
     if not interpret:
@@ -329,17 +379,27 @@ def body_force_pair(
         pos_a = jnp.pad(pos_a, ((0, na_p - na), (0, 0)), constant_values=FAR)
     if nb_p != nb_n:
         pos_b = jnp.pad(pos_b, ((0, nb_p - nb_n), (0, 0)), constant_values=FAR)
+    if masses:
+        ma = mass_a.astype(jnp.float32)
+        mb = mass_b.astype(jnp.float32)
+        if na_p != na:
+            ma = jnp.pad(ma, (0, na_p - na))
+        if nb_p != nb_n:
+            mb = jnp.pad(mb, (0, nb_p - nb_n))
+        pos_a = jnp.concatenate([pos_a, ma[:, None]], axis=1)
+        pos_b = jnp.concatenate([pos_b, mb[:, None]], axis=1)
+    k = pos_a.shape[1]
     pbt = pos_b.T
 
     fast = float(softening) >= 1e-12
     rows, colsT = pl.pallas_call(
         functools.partial(_cross_kernel, softening=float(softening),
-                          tile=tile_ab, fast=fast),
+                          tile=tile_ab, fast=fast, masses=masses),
         grid=(na_p // tile_ab, nb_p // tile_ab),
         in_specs=[
-            pl.BlockSpec((tile_ab, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_ab, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_ab), lambda i, j: (0, j),
+            pl.BlockSpec((k, tile_ab), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -77,32 +77,38 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
 
     if cfg.comm == "ring_sym":
         # Symmetric half-ring: Newton's third law ACROSS shards. A traveling
-        # packet (positions + accumulated reactions) makes ceil((P-1)/2) hops;
-        # at each hop the resident shard computes every cross pair ONCE
-        # (ops.symmetric_force.body_force_pair), adding rows locally and
-        # reactions into the packet, which finally returns to its owner in a
-        # single logical ppermute. Half the compute of the plain ring for
-        # roughly the same ICI volume (2 arrays per hop instead of 1, but
-        # ~half the hops). Unit-mass only (enforced in SimConfig).
+        # packet (positions [+ masses] + accumulated reactions) makes
+        # ceil((P-1)/2) hops; at each hop the resident shard computes every
+        # cross pair ONCE (ops.symmetric_force.body_force_pair), adding rows
+        # locally and reactions into the packet, which finally returns to its
+        # owner in a single logical ppermute. Half the compute of the plain
+        # ring for roughly the same ICI volume (2-3 arrays per hop instead of
+        # 2, but ~half the hops).
         from mini_nbody_tpu.ops.symmetric_force import (
             body_force_pair, body_force_symmetric)
 
+        use_m = cfg.use_masses
         half = n_shards // 2  # hops
         fwd = [(k, (k + 1) % n_shards) for k in range(n_shards)]
         back = [(k, (k - half) % n_shards) for k in range(n_shards)]
 
-        def force(pos_local, _pos_j, _mass_local):
+        def force(pos_local, _pos_j, mass_local):
+            m_local = mass_local if use_m else None
             own = body_force_symmetric(
-                pos_local, softening=cfg.softening, interpret=interpret)
+                pos_local, m_local,
+                softening=cfg.softening, interpret=interpret)
             if n_shards == 1:
                 return own
             pkt_pos = pos_local
+            pkt_mass = m_local
             pkt_f = jnp.zeros_like(pos_local)
             for k in range(1, half + 1):
                 pkt_pos = jax.lax.ppermute(pkt_pos, BODY_AXIS, fwd)
+                if use_m:
+                    pkt_mass = jax.lax.ppermute(pkt_mass, BODY_AXIS, fwd)
                 pkt_f = jax.lax.ppermute(pkt_f, BODY_AXIS, fwd)
                 fa, fb = body_force_pair(
-                    pos_local, pkt_pos,
+                    pos_local, pkt_pos, m_local, pkt_mass,
                     softening=cfg.softening, tile=cfg.tile_i,
                     interpret=interpret,
                 )
@@ -123,19 +129,20 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
     # Ring: rotate (pos, mass) shards around the mesh, one hop per shard.
     perm = [(k, (k + 1) % n_shards) for k in range(n_shards)]
 
-    # Hop 0 computes the shard against itself — a square unit-mass force,
-    # eligible for the symmetric kernel (each pair once, ~1.8x the direct
-    # kernel on that 1/P slice of the work). Also used under the mxu backend:
-    # it is both faster and more accurate than the bf16-accumulate matmul the
-    # user opted into for the cross hops.
-    use_sym_self = (not cfg.use_masses) and backend in ("pallas", "sym", "mxu")
+    # Hop 0 computes the shard against itself — a square self force, eligible
+    # for the symmetric kernel (each pair once, ~1.7x the direct kernel on
+    # that 1/P slice of the work; mass or unit-mass). Also used under the mxu
+    # backend: it is both faster and more accurate than the bf16-accumulate
+    # matmul the user opted into for the cross hops.
+    use_sym_self = backend in ("pallas", "sym", "mxu")
 
     def self_force(pos_local, mass_local):
         if use_sym_self:
             from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
 
             return body_force_symmetric(
-                pos_local, softening=cfg.softening, interpret=interpret
+                pos_local, mass_local if cfg.use_masses else None,
+                softening=cfg.softening, interpret=interpret
             )
         return kern(pos_local, pos_local, mass_local)
 

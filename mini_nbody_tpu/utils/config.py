@@ -49,7 +49,7 @@ class SimConfig:
         "jnp" elsewhere. "mxu" = hybrid kernel that routes the O(N^2) force
         accumulation through the matrix unit (see ops/mxu_force.py). "sym" =
         Newton's-third-law kernel computing each pair once (single-chip,
-        unit-mass, fp32-exact; see ops/symmetric_force.py).
+        fp32-exact, mass or unit-mass; see ops/symmetric_force.py).
       pair_dtype: precision knob for the mxu backend's accumulation matmul
         operands ("bfloat16" = single-pass MXU, the throughput mode;
         "float32" = exact contract). Distances are always exact fp32, and
@@ -64,7 +64,7 @@ class SimConfig:
       comm: cross-chip position exchange: "all_gather", "ring" (ppermute,
         one hop per shard, each ordered pair computed), or "ring_sym"
         (symmetric half-ring: Newton's third law across shards — half the
-        compute, ~same ICI volume; unit-mass only).
+        compute, ~same ICI volume).
       interpret: force Pallas interpret mode (CPU testing); None = auto
         (interpret unless running on real TPU).
       use_masses: apply per-body masses from BodyState.mass in the force law.
@@ -100,8 +100,6 @@ class SimConfig:
             raise ValueError(
                 f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"
             )
-        if self.backend == "sym" and self.use_masses:
-            raise ValueError("backend 'sym' is unit-mass only (use_masses=False)")
         if self.backend == "sym" and self.mesh_shape is not None:
             raise ValueError(
                 "backend 'sym' is single-chip only (sharded exchanges compute "
@@ -111,8 +109,6 @@ class SimConfig:
             raise ValueError(
                 f"comm must be 'all_gather', 'ring' or 'ring_sym', got {self.comm!r}"
             )
-        if self.comm == "ring_sym" and self.use_masses:
-            raise ValueError("comm 'ring_sym' is unit-mass only (use_masses=False)")
         if self.tile_i % 8 != 0:
             raise ValueError(f"tile_i must be a multiple of 8 (sublanes), got {self.tile_i}")
         if self.tile_j % 128 != 0:
@@ -128,12 +124,11 @@ class SimConfig:
 
     def effective_backend(self, sharded: bool = False) -> str:
         """The backend actually used by make_force_fn: auto upgrades to the
-        symmetric kernel for single-chip unit-mass configs on TPU (any N:
-        the chunk-pair decomposition is a lax.scan with constant compile
-        cost)."""
+        symmetric kernel for single-chip configs on TPU, unit-mass or mass
+        mode (any N: the chunk-pair decomposition is a lax.scan with constant
+        compile cost)."""
         backend = self.resolve_backend()
-        if (self.backend == "auto" and backend == "pallas"
-                and not self.use_masses and not sharded):
+        if self.backend == "auto" and backend == "pallas" and not sharded:
             return "sym"
         return backend
 

@@ -34,6 +34,10 @@ VPU_OPS_PER_INTERACTION = 19.0
 #: covers two ordered interactions: ~11.5 VPU ops per interaction.
 VPU_OPS_PER_INTERACTION_SYM = 11.5
 
+#: Mass mode adds ~9 ops/unordered pair (per-side mass scaling + a
+#: displacement recompute for VMEM liveness — ops/symmetric_force.py).
+VPU_OPS_PER_INTERACTION_SYM_MASS = 16.0
+
 #: Peak-throughput estimates per chip generation (per-chip, fp32 VPU ops/s and
 #: bf16 MXU flops/s). v5e vpu_fp32 is the MEASURED sustained elementwise rate
 #: on this hardware (r2-only microbenchmark: 4.0e12 fp32 ops/s — see
@@ -46,6 +50,14 @@ CHIP_PEAKS = {
     "v6e": {"vpu_fp32": 7.6e12, "mxu_bf16": 918e12, "clock": 0.94e9},
     "cpu": {"vpu_fp32": 1e11, "mxu_bf16": 1e12, "clock": 3e9},
 }
+
+
+def roofline_path(cfg, sharded: bool = False) -> str:
+    """Roofline accounting lane for a config's effective backend."""
+    eff = cfg.effective_backend(sharded=sharded)
+    if eff == "sym":
+        return "sym_mass" if cfg.use_masses else "sym"
+    return "mxu" if eff == "mxu" else "vpu"
 
 
 def chip_peaks() -> dict:
@@ -137,6 +149,9 @@ class Throughput:
             return per_dev * VPU_OPS_PER_INTERACTION / peaks["vpu_fp32"]
         if path == "sym":
             return per_dev * VPU_OPS_PER_INTERACTION_SYM / peaks["vpu_fp32"]
+        if path == "sym_mass":
+            return (per_dev * VPU_OPS_PER_INTERACTION_SYM_MASS
+                    / peaks["vpu_fp32"])
         return per_dev * FLOPS_PER_INTERACTION / peaks["mxu_bf16"]
 
     def report(self, path: str = "vpu") -> dict:

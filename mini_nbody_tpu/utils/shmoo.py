@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from mini_nbody_tpu.models import init as minit
 from mini_nbody_tpu.sim import make_step_fn
 from mini_nbody_tpu.utils.config import SimConfig
-from mini_nbody_tpu.utils.harness import Throughput, time_step_fn
+from mini_nbody_tpu.utils.harness import Throughput, roofline_path, time_step_fn
 
 FIELDS = ["n", "backend", "seconds", "ginteractions_per_s", "per_device",
           "gflops_20c", "roofline_frac"]
@@ -47,8 +47,8 @@ def sweep(cfg: SimConfig, ns: List[int], reps: int = 3,
         sec = time_step_fn(step, carry, n=n, reps=reps)
         t = Throughput(n=n, steps=1, seconds=sec, n_devices=n_devices)
         eff = c.effective_backend(sharded=mesh is not None)
-        path = {"mxu": "mxu", "sym": "sym"}.get(eff, "vpu")
-        row = {"backend": eff, **t.report(path=path)}
+        row = {"backend": eff,
+               **t.report(path=roofline_path(c, sharded=mesh is not None))}
         row.pop("steps", None)
         rows.append(row)
     return rows

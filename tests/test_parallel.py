@@ -118,3 +118,37 @@ def test_ring_sym_matches_single_chip(p):
     np.testing.assert_allclose(
         np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
     )
+
+
+@pytest.mark.parametrize("p", [8, 5])
+def test_ring_sym_mass_mode(p):
+    # Mass-mode half-ring: masses ride with the traveling packet; rows use
+    # the packet's m, reactions the resident shard's m (VERDICT r1 item 2).
+    if len(jax.devices()) < p:
+        pytest.skip("needs devices")
+    m = make_mesh(p)
+    n = 520
+    state = init.plummer(jax.random.key(13), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=4, backend="jnp", comm="ring_sym",
+                    softening=1e-2, use_masses=True)
+    ref = simulate(cfg.replace(comm="ring"), state)
+    out = simulate_sharded(cfg, m, state)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
+
+
+def test_ring_mass_symmetric_self_hop(mesh):
+    # Mass configs on the plain ring now also upgrade hop 0 to the symmetric
+    # kernel; results must match the jnp path.
+    n = 512
+    state = init.plummer(jax.random.key(17), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=3, backend="pallas", comm="ring",
+                    softening=1e-2, use_masses=True, tile_i=32, tile_j=128)
+    ref = simulate(cfg.replace(backend="jnp"), state)
+    out = simulate_sharded(cfg, mesh, state)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
