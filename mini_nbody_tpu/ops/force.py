@@ -51,9 +51,7 @@ def body_force(
             softening=softening, tile_i=tile_i, tile_j=tile_j,
             interpret=interpret, pair_dtype=pair_dtype,
         )
-    if backend == "sym":
-        from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
-
+    if backend in ("sym", "sym_mxu"):
         if pos_i is not pos_j:
             # Identity, not just shape: a distinct same-shape pos_j would be
             # silently ignored (the kernel computes self-forces of pos_i).
@@ -61,14 +59,23 @@ def body_force(
             # array object; rectangular cross-set forces go through
             # body_force_pair / the streaming backends.
             raise ValueError(
-                "backend 'sym' computes square self-forces only: pos_j must "
-                "be the same array object as pos_i (got a distinct array; "
-                "use backend='pallas'/'mxu' for rectangular calls)"
+                f"backend {backend!r} computes square self-forces only: "
+                "pos_j must be the same array object as pos_i (got a "
+                "distinct array; use backend='pallas'/'mxu' for rectangular "
+                "calls)"
             )
-        # The symmetric kernel has its own tuned tiling (tile=1024 with
+        # The symmetric kernels have their own tuned tiling (tile=1024 with
         # 131072-body chunks measured fastest on v5e: 346 vs 250 GInter/s at
         # tile=512); cfg tile_i/tile_j target the streaming kernels, so they
         # are deliberately not forwarded here.
+        if backend == "sym_mxu":
+            from mini_nbody_tpu.ops.sym_mxu_force import body_force_sym_mxu
+
+            return body_force_sym_mxu(
+                pos_i, mass_j, softening=softening, interpret=interpret,
+            )
+        from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
+
         return body_force_symmetric(
             pos_i, mass_j, softening=softening, interpret=interpret,
         )

@@ -1,0 +1,302 @@
+"""Symmetric x MXU hybrid force kernel: each unordered pair's weight w
+computed ONCE on the VPU, then BOTH the row sums and the reaction sums ride
+the MXU as matmuls.
+
+The fp32 symmetric kernel (symmetric_force.py) is VPU-saturated at ~23 VPU
+ops per unordered pair (346 GInter/s = 0.98 of the measured roofline), so
+the only headroom left is the matrix unit. The accumulation identities
+
+    row  side: S_r = W @ [v_j | 1]    F_i += S_r[:, :3] - p_i * S_r[:, 3]
+    react side: S_c = [v_i | 1]^T @ W  F_j -= S_c[:3, :] - p_j * S_c[3, :]
+
+(with v = m*p and the last column m in mass mode — masses fold into the
+matmul operands OUTSIDE the kernel, so mass mode costs nothing per pair)
+move all d*w products and reductions onto the MXU; the VPU keeps only the
+distance + rsqrt pipeline (~17-19 op-equivalents per unordered pair vs ~23,
+and vs ~32 for mass-mode symmetric).
+
+Precision: the matmuls run at MXU DEFAULT = single-pass bf16 operands with
+fp32 accumulation (Mosaic supports only DEFAULT and HIGHEST; HIGHEST's fp32
+contract passes are slower than the pure-VPU kernel — measured 117 GInter/s
+in mxu_force.py). bf16 rounding of w and of the [p|1] operand puts this in
+the same error class as mxu_force's bf16 mode (~3e-3 median force error,
+tails on the closest pairs); the fp32-exact headline stays with
+symmetric_force.py. Self/coincident pairs are masked on the pre-softening
+|d|^2 == 0 (their eps^-1.5 weight would otherwise swamp the accumulators —
+same mask as mxu_force.py/autodiff.py).
+
+Structure: same diagonal-band traversal and accumulator layout as
+symmetric_force.py (rows = blocked (T,4) output with consecutive-revisit
+accumulation; reactions = whole-chunk constant-index (4,C) output), same
+chunk decomposition for large N; see that module's docstring for why Pallas
+forces this shape. Reference anchors as in symmetric_force.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
+
+_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
+    pltpu, "TPUCompilerParams"
+)
+
+
+def _w_block(pi, pjt, softening, fast):
+    """(T,3) x (3,T) -> masked pair weights w (T,T)."""
+    xi, yi, zi = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
+    dx = pjt[0:1, :] - xi
+    dy = pjt[1:2, :] - yi
+    dz = pjt[2:3, :] - zi
+    d2 = dx * dx + dy * dy + dz * dz
+    r2 = d2 + jnp.asarray(softening, dx.dtype)
+    if fast:
+        w = jax.lax.rsqrt((r2 * r2) * r2)
+    else:
+        inv = jax.lax.rsqrt(r2)
+        w = (inv * inv) * inv
+    # Coincident/self pairs: the matmul accumulation separates sum(w*p) and
+    # sum(w), so the analytic zero no longer cancels — mask exactly like
+    # mxu_force.py.
+    return jnp.where(d2 == 0.0, jnp.asarray(0.0, w.dtype), w)
+
+
+def _mm(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _tri_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
+                softening, tile, fast, nb):
+    """Self-chunk diagonal-band step: block (i, (i+d) mod nb) at grid (i, d)."""
+    i = pl.program_id(0)
+    d = pl.program_id(1)
+    jg = jax.lax.rem(i + d, jnp.int32(nb))
+
+    @pl.when(jnp.logical_and(d == 0, i == 0))
+    def _zero_cols():
+        colsT_ref[:] = jnp.zeros_like(colsT_ref)
+
+    active = jnp.logical_or(d * 2 != nb, i * 2 < nb)
+
+    @pl.when(active)
+    def _work():
+        w = _w_block(pi_ref[:], pjt_ref[:], softening, fast)
+        s_r = _mm(w, vj_ref[:], (((1,), (0,))))  # (T, 4)
+
+        @pl.when(d == 0)
+        def _rows_init():
+            rows_ref[:] = s_r
+
+        @pl.when(d > 0)
+        def _rows_acc():
+            rows_ref[:] = rows_ref[:] + s_r
+
+        @pl.when(d > 0)  # diagonal blocks: row sums already cover both orders
+        def _cols():
+            s_c = _mm(vi_ref[:], w, (((0,), (0,))))  # (4, T)
+            cj = pl.ds(jg * tile, tile)
+            colsT_ref[:, cj] = colsT_ref[:, cj] + s_c
+
+
+def _cross_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
+                  softening, tile, fast):
+    """Cross-chunk step (i in chunk a, j in chunk b, a != b)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_cols():
+        colsT_ref[:] = jnp.zeros_like(colsT_ref)
+
+    w = _w_block(pi_ref[:], pjt_ref[:], softening, fast)
+    s_r = _mm(w, vj_ref[:], (((1,), (0,))))
+
+    @pl.when(j == 0)
+    def _rows_init():
+        rows_ref[:] = s_r
+
+    @pl.when(j > 0)
+    def _rows_acc():
+        rows_ref[:] = rows_ref[:] + s_r
+
+    s_c = _mm(vi_ref[:], w, (((0,), (0,))))
+    cj = pl.ds(j * tile, tile)
+    colsT_ref[:, cj] = colsT_ref[:, cj] + s_c
+
+
+def _common_params(pairs, io_bytes):
+    return dict(
+        compiler_params=_CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=17 * pairs + 16 * pairs,  # VPU w + 2 padded matmul sides
+            bytes_accessed=io_bytes,
+            transcendentals=pairs,
+        ),
+    )
+
+
+def _epilogue(pos, s_r, s_cT):
+    """Force from raw sums.
+
+    Rows:      F_i += S_r[i,:3] - p_i S_r[i,3]   (sum_j w (p_j - p_i))
+    Reactions: F_j += S_c[:3,j] - p_j S_c[3,j]   (sum_i w (p_i - p_j))
+    Both share the shape (sum of w-weighted positions) - p * (sum of w),
+    so one fused epilogue over s = S_r + S_c^T covers them."""
+    s = s_r + s_cT
+    return s[:, 0:3] - pos * s[:, 3:4]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "chunk", "interpret"),
+)
+def body_force_sym_mxu(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    chunk: int = 131072,
+    interpret: bool = False,
+):
+    """All-pairs forces via the symmetric MXU hybrid (module docstring).
+
+    Mass mode costs the same as unit-mass: masses fold into the [m*p | m]
+    matmul operands computed once outside the kernel. bf16-accumulate error
+    class (~3e-3 median); use backend='sym' for fp32-exact.
+    """
+    n = pos.shape[0]
+    pos = pos.astype(jnp.float32)
+
+    tile = min(tile, round_up(n, 8))
+    if not interpret and tile < round_up(n, 8):
+        tile = round_up(tile, 128)
+    nc = max(1, -(-n // chunk))
+    c = round_up(-(-n // nc), tile)
+    np_ = nc * c
+    if np_ != n:
+        pos = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=FAR)
+    if mass is None:
+        v = jnp.concatenate([pos, jnp.ones((np_, 1), jnp.float32)], axis=1)
+    else:
+        m = mass.astype(jnp.float32)
+        if np_ != n:
+            m = jnp.pad(m, (0, np_ - n))  # zero-mass tails: inert in v too
+        v = jnp.concatenate([pos * m[:, None], m[:, None]], axis=1)
+    pjt = pos.T  # (3, Np)
+
+    nb = c // tile
+    fast = float(softening) >= 1e-12
+    vm = pltpu.VMEM
+
+    nd = nb // 2 + 1
+    tri_call = pl.pallas_call(
+        functools.partial(_tri_kernel, softening=float(softening), tile=tile,
+                          fast=fast, nb=nb),
+        grid=(nb, nd),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, tile),
+                         lambda i, d: (0, jax.lax.rem(i + d, jnp.int32(nb))),
+                         memory_space=vm),
+            pl.BlockSpec((tile, 4), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile, 4),
+                         lambda i, d: (jax.lax.rem(i + d, jnp.int32(nb)), 0),
+                         memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 4), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((4, c), lambda i, d: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 4), jnp.float32),
+            jax.ShapeDtypeStruct((4, c), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(nb * nd * tile * tile, c * 64),
+    )
+    cross_call = pl.pallas_call(
+        functools.partial(_cross_kernel, softening=float(softening),
+                          tile=tile, fast=fast),
+        grid=(nb, nb),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, tile), lambda i, j: (0, j), memory_space=vm),
+            pl.BlockSpec((tile, 4), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile, 4), lambda i, j: (j, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 4), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((4, c), lambda i, j: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 4), jnp.float32),
+            jax.ShapeDtypeStruct((4, c), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(c * c, c * 64),
+    )
+
+    if nc == 1:
+        rows, colsT = tri_call(pos, pjt, v, v)
+        return _epilogue(pos, rows, colsT.T)[:n]
+
+    rows_total = jnp.zeros((np_, 4), jnp.float32)
+    cols_total = jnp.zeros((4, np_), jnp.float32)
+
+    def add_rows(buf, off, r):
+        zero = jnp.zeros((), off.dtype)
+        cur = jax.lax.dynamic_slice(buf, (off, zero), (c, 4))
+        return jax.lax.dynamic_update_slice(buf, cur + r, (off, zero))
+
+    def add_cols(buf, off, ct):
+        zero = jnp.zeros((), off.dtype)
+        cur = jax.lax.dynamic_slice(buf, (zero, off), (4, c))
+        return jax.lax.dynamic_update_slice(buf, cur + ct, (zero, off))
+
+    def slice_chunk(off):
+        zero = jnp.zeros((), off.dtype)
+        pa = jax.lax.dynamic_slice(pos, (off, zero), (c, 3))
+        pat = jax.lax.dynamic_slice(pjt, (zero, off), (3, c))
+        va = jax.lax.dynamic_slice(v, (off, zero), (c, 4))
+        return pa, pat, va
+
+    def tri_body(carry, off):
+        rows, cols = carry
+        pa, pat, va = slice_chunk(off)
+        r, ct = tri_call(pa, pat, va, va)
+        return (add_rows(rows, off, r), add_cols(cols, off, ct)), None
+
+    offs = jnp.arange(nc, dtype=jnp.int32) * c
+    (rows_total, cols_total), _ = jax.lax.scan(
+        tri_body, (rows_total, cols_total), offs
+    )
+
+    pair_offs = jnp.asarray(
+        [(a * c, b * c) for a in range(nc) for b in range(a + 1, nc)],
+        dtype=jnp.int32,
+    )
+
+    def cross_body(carry, ab):
+        rows, cols = carry
+        pa, _, va = slice_chunk(ab[0])
+        _, pbt, vb = slice_chunk(ab[1])
+        r, ct = cross_call(pa, pbt, va, vb)
+        return (add_rows(rows, ab[0], r), add_cols(cols, ab[1], ct)), None
+
+    (rows_total, cols_total), _ = jax.lax.scan(
+        cross_body, (rows_total, cols_total), pair_offs
+    )
+
+    return _epilogue(pos, rows_total, cols_total.T)[:n]

@@ -206,10 +206,17 @@ def init_sharded_carry(cfg: SimConfig, mesh: Mesh, state: BodyState):
 
 
 def simulate_sharded(cfg: SimConfig, mesh: Mesh, state: BodyState, steps=None):
-    """Multi-step sharded trajectory as one XLA program. Returns the final
-    state with the original (unpadded) N."""
+    """Multi-step sharded trajectory. Returns the final state with the
+    original (unpadded) N.
+
+    Segmented from the host like sim.simulate when the estimated per-device
+    time (O(N^2/P) pairs/step) would trip the execution watchdog; otherwise
+    one XLA program."""
+    from mini_nbody_tpu.sim import max_steps_per_dispatch
+
     n = state.n
     steps = cfg.steps if steps is None else steps
+    n_shards = mesh.shape[BODY_AXIS]
     state = shard_state(state, mesh, pad_far=not cfg.use_masses)
     step = make_sharded_step_fn(cfg, mesh)
 
@@ -222,5 +229,11 @@ def simulate_sharded(cfg: SimConfig, mesh: Mesh, state: BodyState, steps=None):
         return carry
 
     carry = init_sharded_carry(cfg, mesh, state)
-    final, _ = run(carry, nsteps=steps)
+    seg = max_steps_per_dispatch(n, n_shards)
+    full, rem = divmod(steps, seg) if steps > seg else (0, steps)
+    for _ in range(full):
+        carry = run(carry, nsteps=seg)
+    if rem:
+        carry = run(carry, nsteps=rem)
+    final, _ = carry
     return final.unpad(n)

@@ -65,16 +65,47 @@ def _simulate_scan(cfg: SimConfig, carry, steps: int):
     return carry
 
 
+#: Single XLA executions longer than ~5 min of device time trip the axon
+#: tunnel's watchdog (UNAVAILABLE "TPU device error" — CLAUDE.md); cap each
+#: dispatch well below that, assuming a conservative per-chip rate so even
+#: the slowest kernel config stays safe.
+MAX_DEVICE_SECONDS_PER_DISPATCH = 120.0
+_CONSERVATIVE_GINTER_S = 100.0
+
+
+def max_steps_per_dispatch(n: int, n_devices: int = 1) -> int:
+    """Steps per XLA dispatch that keep estimated device time under the
+    watchdog cap (O(N^2/P) pairs/step at a conservative per-chip rate)."""
+    per_step = float(n) * n / n_devices / (_CONSERVATIVE_GINTER_S * 1e9)
+    return max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / max(per_step, 1e-12)))
+
+
 def simulate(
     cfg: SimConfig,
     state: BodyState,
     steps: Optional[int] = None,
 ) -> BodyState:
-    """Run `steps` (default cfg.steps) integration steps as one XLA program."""
+    """Run `steps` (default cfg.steps) integration steps.
+
+    Short runs trace as ONE XLA program (no per-step host round-trip — the
+    reference pays a PS<->PL handshake per force pass). Runs whose estimated
+    device time would trip the execution watchdog are segmented from the
+    host into equal-length scan dispatches (same compiled program reused;
+    one extra compile for a ragged final segment), the carry staying on
+    device throughout.
+    """
     steps = cfg.steps if steps is None else steps
     carry = init_carry(cfg, state)
-    state, _ = _simulate_scan(cfg, carry, steps)
-    return state
+    seg = max_steps_per_dispatch(cfg.n)
+    if steps <= seg:
+        state, _ = _simulate_scan(cfg, carry, steps)
+        return state
+    full, rem = divmod(steps, seg)
+    for _ in range(full):
+        carry = _simulate_scan(cfg, carry, seg)
+    if rem:
+        carry = _simulate_scan(cfg, carry, rem)
+    return carry[0]
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "save_every"))

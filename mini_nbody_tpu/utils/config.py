@@ -28,7 +28,7 @@ DT = 0.01
 #: ``src/top_level.vhd:201-205``).
 FAR = 1.0e18
 
-_BACKENDS = ("auto", "jnp", "pallas", "mxu", "sym")
+_BACKENDS = ("auto", "jnp", "pallas", "mxu", "sym", "sym_mxu")
 _INTEGRATORS = ("euler", "leapfrog")
 _PAIR_DTYPES = ("float32", "bfloat16")
 
@@ -50,6 +50,11 @@ class SimConfig:
         accumulation through the matrix unit (see ops/mxu_force.py). "sym" =
         Newton's-third-law kernel computing each pair once (single-chip,
         fp32-exact, mass or unit-mass; see ops/symmetric_force.py).
+        "sym_mxu" = symmetric x MXU hybrid: w once per unordered pair on the
+        VPU, row AND reaction sums as MXU matmuls — the fastest kernel
+        (412.8 GInter/s at N=1M on v5e, mass mode same speed) at
+        bf16-accumulate accuracy (~5e-5 median force error; see
+        ops/sym_mxu_force.py).
       pair_dtype: precision knob for the mxu backend's accumulation matmul
         operands ("bfloat16" = single-pass MXU, the throughput mode;
         "float32" = exact contract). Distances are always exact fp32, and
@@ -100,10 +105,11 @@ class SimConfig:
             raise ValueError(
                 f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"
             )
-        if self.backend == "sym" and self.mesh_shape is not None:
+        if self.backend in ("sym", "sym_mxu") and self.mesh_shape is not None:
             raise ValueError(
-                "backend 'sym' is single-chip only (sharded exchanges compute "
-                "rectangular shard-vs-shard blocks); use 'pallas' or 'mxu'"
+                f"backend {self.backend!r} is single-chip only (sharded "
+                "exchanges compute rectangular shard-vs-shard blocks); use "
+                "'pallas' or 'mxu'"
             )
         if self.comm not in ("all_gather", "ring", "ring_sym"):
             raise ValueError(

@@ -38,6 +38,10 @@ VPU_OPS_PER_INTERACTION_SYM = 11.5
 #: displacement recompute for VMEM liveness — ops/symmetric_force.py).
 VPU_OPS_PER_INTERACTION_SYM_MASS = 16.0
 
+#: The sym x MXU hybrid keeps only distances + rsqrt + mask on the VPU
+#: (~19 op-equivalents per unordered pair; products/reductions ride the MXU).
+VPU_OPS_PER_INTERACTION_SYM_MXU = 9.5
+
 #: Peak-throughput estimates per chip generation (per-chip, fp32 VPU ops/s and
 #: bf16 MXU flops/s). v5e vpu_fp32 is the MEASURED sustained elementwise rate
 #: on this hardware (r2-only microbenchmark: 4.0e12 fp32 ops/s — see
@@ -57,7 +61,9 @@ def roofline_path(cfg, sharded: bool = False) -> str:
     eff = cfg.effective_backend(sharded=sharded)
     if eff == "sym":
         return "sym_mass" if cfg.use_masses else "sym"
-    return "mxu" if eff == "mxu" else "vpu"
+    if eff in ("mxu", "sym_mxu"):
+        return eff
+    return "vpu"
 
 
 def chip_peaks() -> dict:
@@ -151,6 +157,11 @@ class Throughput:
             return per_dev * VPU_OPS_PER_INTERACTION_SYM / peaks["vpu_fp32"]
         if path == "sym_mass":
             return (per_dev * VPU_OPS_PER_INTERACTION_SYM_MASS
+                    / peaks["vpu_fp32"])
+        if path == "sym_mxu":
+            # VPU-bound despite the MXU accumulation (the matmuls' padded
+            # slot cost is ~1/3 of the VPU time at these shapes).
+            return (per_dev * VPU_OPS_PER_INTERACTION_SYM_MXU
                     / peaks["vpu_fp32"])
         return per_dev * FLOPS_PER_INTERACTION / peaks["mxu_bf16"]
 

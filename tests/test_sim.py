@@ -105,3 +105,36 @@ def test_energy_drift_gate_leapfrog():
     out = simulate(cfg, state)
     e1 = float(diag.total_energy(out, soft))
     assert abs(e1 - e0) / abs(e0) < 1e-5
+
+
+def test_watchdog_segmentation_matches_single_program(monkeypatch):
+    # Forcing a tiny per-dispatch cap must not change the trajectory: the
+    # host-segmented path reuses the same compiled scan with the carry on
+    # device (VERDICT r1 item 5 — automatic watchdog-safe segmentation).
+    import numpy as np
+    from mini_nbody_tpu import sim as simmod
+    from mini_nbody_tpu.models import init as minit
+    from mini_nbody_tpu.utils.config import SimConfig
+
+    cfg = SimConfig(n=96, dt=1e-3, steps=13, backend="jnp", softening=1e-2)
+    state = minit.uniform_random(jax.random.key(21), 96)
+    ref = simmod.simulate(cfg, state)
+    # cap -> max_steps_per_dispatch == 1ish: 13 = 4*3 + 1 segments at seg=3
+    monkeypatch.setattr(simmod, "MAX_DEVICE_SECONDS_PER_DISPATCH",
+                        3 * 96 * 96 / (simmod._CONSERVATIVE_GINTER_S * 1e9))
+    assert simmod.max_steps_per_dispatch(96) == 3
+    out = simmod.simulate(cfg, state)
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(out.vel), np.asarray(ref.vel))
+
+
+def test_max_steps_per_dispatch_scales():
+    from mini_nbody_tpu.sim import max_steps_per_dispatch
+
+    assert max_steps_per_dispatch(1 << 20) >= 10   # ~11 at 100 G/s, 120 s
+    assert max_steps_per_dispatch(1 << 20) < 1000
+    assert max_steps_per_dispatch(1024) > 100000   # small N: effectively off
+    # sharded: per-device work is N^2/P (≈8x more steps fit; int truncation)
+    single = max_steps_per_dispatch(1 << 20)
+    assert 8 * single <= max_steps_per_dispatch(1 << 20, n_devices=8) \
+        <= 8 * (single + 1)

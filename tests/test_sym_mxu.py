@@ -1,0 +1,88 @@
+"""Symmetric x MXU hybrid kernel vs oracle (interpret mode on CPU; on real
+TPU the matmuls run single-pass bf16 — error class documented in
+ops/sym_mxu_force.py and gated by the config-3 drift run)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_nbody_tpu.models import init
+from mini_nbody_tpu.ops.reference import body_force_jnp
+from mini_nbody_tpu.ops.sym_mxu_force import body_force_sym_mxu
+
+INTERP = jax.default_backend() != "tpu"
+# Real-TPU runs use bf16 matmul operands; interpret mode is exact fp32.
+RTOL, ATOL_SCALE = ((1e-4, 1e-5) if INTERP else (1e-2, 2e-3))
+
+
+def _check(n, tile, chunk, masses=False, init_fn=None, softening=1e-2):
+    make = init_fn or init.uniform_random
+    s = make(jax.random.key(n + 1), n)
+    m = s.mass if masses else None
+    f = body_force_sym_mxu(s.pos, m, softening=softening, tile=tile,
+                           chunk=chunk, interpret=INTERP)
+    ref = body_force_jnp(s.pos, s.pos, m, softening=softening)
+    f, ref = np.asarray(f), np.asarray(ref)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(f, ref, rtol=RTOL, atol=ATOL_SCALE * scale)
+
+
+def test_single_chunk():
+    _check(256, 64, 256)
+
+
+def test_multi_chunk_with_ragged_tail():
+    _check(300, 64, 128)
+
+
+def test_even_block_count_wrap_band():
+    _check(512, 64, 512)
+
+
+def test_mass_mode_plummer():
+    _check(256, 64, 256, masses=True, init_fn=init.plummer)
+
+
+def test_mass_mode_multi_chunk_ragged():
+    _check(300, 64, 128, masses=True, init_fn=init.plummer)
+
+
+def test_mass_mode_two_cluster():
+    _check(200, 64, 256, masses=True, init_fn=init.two_cluster)
+
+
+def test_default_softening_coincident_mask():
+    # Self pairs at SOFTENING=1e-9: the separated sum(w*p)/sum(w) matmul
+    # accumulation needs the |d|^2 == 0 mask or eps^-1.5 swamps everything.
+    _check(256, 64, 256, softening=1e-9)
+
+
+def test_zero_mass_inert():
+    pos = init.uniform_random(jax.random.key(5), 128).pos
+    f = body_force_sym_mxu(pos, jnp.zeros((128,), jnp.float32),
+                           tile=64, chunk=128, interpret=INTERP)
+    np.testing.assert_array_equal(np.asarray(f), 0.0)
+
+
+def test_coincident_bodies_finite():
+    pos = jnp.zeros((32, 3), jnp.float32)
+    f = body_force_sym_mxu(pos, tile=32, chunk=32, interpret=INTERP)
+    assert np.isfinite(np.asarray(f)).all()
+    np.testing.assert_array_equal(np.asarray(f), 0.0)
+
+
+def test_dispatch_and_config():
+    from mini_nbody_tpu import SimConfig
+    from mini_nbody_tpu.ops.force import body_force
+
+    s = init.plummer(jax.random.key(3), 96)
+    f = body_force(s.pos, s.pos, s.mass, backend="sym_mxu", interpret=INTERP)
+    ref = body_force_jnp(s.pos, s.pos, s.mass)
+    scale = max(float(np.abs(np.asarray(ref)).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref),
+                               rtol=RTOL, atol=ATOL_SCALE * scale)
+    with pytest.raises(ValueError, match="single-chip"):
+        SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,))
+    with pytest.raises(ValueError, match="same array object"):
+        body_force(s.pos, s.pos + 0.0, backend="sym_mxu", interpret=INTERP)
