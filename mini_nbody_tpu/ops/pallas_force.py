@@ -88,6 +88,129 @@ def _direct_kernel(pi_ref, pjt_ref, out_ref, *, softening, acc_steps,
             out_ref[:] = out_ref[:] + f
 
 
+def _fused_euler_kernel(pi_ref, vi_ref, pjt_ref, pos_ref, vel_ref, acc_ref, *,
+                        softening, acc_steps, unit_mass, fast_rsqrt_cube, dt):
+    """Direct kernel + semi-implicit Euler epilogue (SURVEY §7 step 2 /
+    BASELINE north star "fused force accumulation with the integrate step"):
+    the force accumulates in VMEM scratch and the last j step writes the
+    integrated (pos', vel') directly — F never round-trips HBM."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pi = pi_ref[:]
+    xi, yi, zi = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
+    dx = pjt_ref[0:1, :] - xi
+    dy = pjt_ref[1:2, :] - yi
+    dz = pjt_ref[2:3, :] - zi
+    r2 = dx * dx + dy * dy + (dz * dz + jnp.asarray(softening, dx.dtype))
+    if fast_rsqrt_cube:
+        w = jax.lax.rsqrt((r2 * r2) * r2)
+    else:
+        inv = jax.lax.rsqrt(r2)
+        w = (inv * inv) * inv
+    if not unit_mass:
+        w = w * pjt_ref[3:4, :]
+    f = jnp.concatenate(
+        [jnp.sum(dx * w, axis=1, keepdims=True),
+         jnp.sum(dy * w, axis=1, keepdims=True),
+         jnp.sum(dz * w, axis=1, keepdims=True)], axis=1)
+    acc_ref[:] += f
+
+    @pl.when(j == acc_steps - 1)
+    def _integrate():
+        step = jnp.asarray(dt, pi.dtype)
+        vel = vi_ref[:] + step * acc_ref[:]
+        vel_ref[:] = vel
+        pos_ref[:] = pi + step * vel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "dt", "tile_i", "tile_j", "interpret"),
+)
+def euler_step_fused(
+    pos,
+    vel,
+    mass=None,
+    dt: float = 0.01,
+    softening: float = SOFTENING,
+    tile_i: int = 512,
+    tile_j: int = 2048,
+    interpret: bool = False,
+):
+    """One fused force+Euler step on the direct kernel: (pos', vel').
+
+    Ablation target for the blueprint's fused-integrate epilogue; measured
+    perf vs the unfused step is recorded in benchmarks/RESULTS.md (the
+    integrate is O(N) against an O(N^2) force — the win is bounded by the
+    F round-trip it saves).
+    """
+    n = pos.shape[0]
+    unit_mass = mass is None
+    pos = pos.astype(jnp.float32)
+    vel = vel.astype(jnp.float32)
+
+    tile_i = min(tile_i, round_up(n, 8))
+    tile_j = min(tile_j, round_up(n, 128))
+    np_ = round_up(round_up(n, tile_i), tile_j)
+    if np_ != n:
+        # i-rows must see the true sources; pad FAR (unit mass) or zero-mass.
+        pos = jnp.pad(pos, ((0, np_ - n), (0, 0)),
+                      constant_values=FAR if unit_mass else 0.0)
+        vel = jnp.pad(vel, ((0, np_ - n), (0, 0)))
+        if not unit_mass:
+            mass = jnp.pad(mass.astype(jnp.float32), (0, np_ - n))
+
+    pjt_rows = [pos.T]
+    if not unit_mass:
+        pjt_rows.append(mass[None, :])
+    pjt = jnp.concatenate(pjt_rows, axis=0) if len(pjt_rows) > 1 else pjt_rows[0]
+
+    grid = (np_ // tile_i, np_ // tile_j)
+    kernel = functools.partial(
+        _fused_euler_kernel, softening=float(softening), acc_steps=grid[1],
+        unit_mass=unit_mass, fast_rsqrt_cube=float(softening) >= 1e-12,
+        dt=float(dt),
+    )
+    pairs = np_ * np_
+    pos_new, vel_new = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pjt.shape[0], tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_i, 3), jnp.float32)],
+        compiler_params=_CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * pairs,
+            bytes_accessed=(np_ * 6 + np_ * 4 + np_ * 6) * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(pos, vel, pjt)
+    return pos_new[:n], vel_new[:n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("softening", "tile_i", "tile_j", "interpret"),

@@ -185,30 +185,8 @@ def _common_params(pairs, rows_bytes, cols_bytes):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("softening", "tile", "chunk", "interpret"),
-)
-def body_force_symmetric(
-    pos,
-    mass=None,
-    softening: float = SOFTENING,
-    tile: int = 1024,
-    chunk: int = 131072,
-    interpret: bool = False,
-):
-    """All-pairs forces on pos (N,3), each pair computed once. mass=None is
-    the unit-mass fast path; (N,) masses ride as a packed 4th component
-    (rows weighted by m_j, reactions by m_i — module docstring).
-
-    N beyond one chunk is decomposed into nc equal tile-aligned chunks and
-    driven by two lax.scan loops (one over self chunks, one over cross chunk
-    pairs), so compile cost is constant in N — two Mosaic kernels total.
-    """
-    n = pos.shape[0]
-    masses = mass is not None
-    pos = pos.astype(jnp.float32)
-
+def _resolve_tiling(n, tile, chunk, masses, interpret):
+    """(tile, c, nc, np_) for the chunked symmetric decomposition."""
     if masses:
         # Mass mode keeps one more (T,T) temporary live (w + d/t + product);
         # tile=1024 exceeds the 16 MB VMEM budget, 896 is the largest fit
@@ -223,23 +201,29 @@ def body_force_symmetric(
     # at most nc*tile bodies.
     nc = max(1, -(-n // chunk))
     c = round_up(-(-n // nc), tile)
-    np_ = nc * c
+    return tile, c, nc, nc * c
+
+
+def _pack(pos, mass, n, np_):
+    """Pad to np_ (FAR positions, zero masses) and pack the mass column."""
+    pos = pos.astype(jnp.float32)
     if np_ != n:
         pos = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=FAR)
-    if masses:
+    if mass is not None:
         m = mass.astype(jnp.float32)
         if np_ != n:
             m = jnp.pad(m, (0, np_ - n))  # zero-mass tails: doubly inert
         pos = jnp.concatenate([pos, m[:, None]], axis=1)  # (Np, 4)
-    k = pos.shape[1]  # 3 unit-mass, 4 packed mass
-    pjt = pos.T  # (k, Np)
+    return pos
 
+
+def _build_calls(softening, tile, c, k, interpret):
+    """The two Mosaic kernels for chunk size c (shapes fixed by (tile, c))."""
     nb = c // tile
-    fast = float(softening) >= 1e-12
-    vm = pltpu.VMEM
-
-    # --- the two kernels (shapes fixed by (tile, c)) ---
     nd = nb // 2 + 1
+    fast = float(softening) >= 1e-12
+    masses = k == 4
+    vm = pltpu.VMEM
     tri_call = pl.pallas_call(
         functools.partial(_tri_kernel, softening=float(softening), tile=tile,
                           fast=fast, nb=nb, masses=masses),
@@ -280,13 +264,11 @@ def body_force_symmetric(
         interpret=interpret,
         **_common_params(c * c, c * 24, c * 24),
     )
+    return tri_call, cross_call
 
-    if nc == 1:
-        rows, colsT = tri_call(pos, pjt)
-        return (rows + colsT.T)[:n]
 
-    rows_total = jnp.zeros((np_, 3), jnp.float32)
-    cols_total = jnp.zeros((3, np_), jnp.float32)
+def _make_scan_bodies(tri_call, cross_call, c, k):
+    """Scan bodies accumulating (rows_total (Np,3), cols_total (3,Np))."""
 
     def add_rows(buf, off, r):
         zero = jnp.zeros((), off.dtype)
@@ -298,40 +280,164 @@ def body_force_symmetric(
         cur = jax.lax.dynamic_slice(buf, (zero, off), (3, c))
         return jax.lax.dynamic_update_slice(buf, cur + ct, (zero, off))
 
-    # Self chunks.
     def tri_body(carry, off):
-        rows, cols = carry
+        rows, cols, pos, pjt = carry
         zero = jnp.zeros((), off.dtype)
         pa = jax.lax.dynamic_slice(pos, (off, zero), (c, k))
         pat = jax.lax.dynamic_slice(pjt, (zero, off), (k, c))
         r, ct = tri_call(pa, pat)
-        return (add_rows(rows, off, r), add_cols(cols, off, ct)), None
-
-    offs = jnp.arange(nc, dtype=jnp.int32) * c
-    (rows_total, cols_total), _ = jax.lax.scan(
-        tri_body, (rows_total, cols_total), offs
-    )
-
-    # Cross chunk pairs (a < b).
-    pair_offs = jnp.asarray(
-        [(a * c, b * c) for a in range(nc) for b in range(a + 1, nc)],
-        dtype=jnp.int32,
-    )
+        return (add_rows(rows, off, r), add_cols(cols, off, ct), pos, pjt), None
 
     def cross_body(carry, ab):
-        rows, cols = carry
+        rows, cols, pos, pjt = carry
         zero = jnp.zeros((), ab.dtype)
         pa = jax.lax.dynamic_slice(pos, (ab[0], zero), (c, k))
         pbt = jax.lax.dynamic_slice(pjt, (zero, ab[1]), (k, c))
         r, ct = cross_call(pa, pbt)
-        return (add_rows(rows, ab[0], r), add_cols(cols, ab[1], ct)), None
+        return (add_rows(rows, ab[0], r), add_cols(cols, ab[1], ct), pos, pjt), None
 
-    (rows_total, cols_total), _ = jax.lax.scan(
-        cross_body, (rows_total, cols_total), pair_offs
-    )
+    return tri_body, cross_body
 
+
+def _cross_pair_offsets(nc, c):
+    return [(a * c, b * c) for a in range(nc) for b in range(a + 1, nc)]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "chunk", "interpret"),
+)
+def body_force_symmetric(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    chunk: int = 131072,
+    interpret: bool = False,
+):
+    """All-pairs forces on pos (N,3), each pair computed once. mass=None is
+    the unit-mass fast path; (N,) masses ride as a packed 4th component
+    (rows weighted by m_j, reactions by m_i — module docstring).
+
+    N beyond one chunk is decomposed into nc equal tile-aligned chunks and
+    driven by two lax.scan loops (one over self chunks, one over cross chunk
+    pairs), so compile cost is constant in N — two Mosaic kernels total.
+    One XLA program; for N large enough that a single force pass would trip
+    the execution watchdog (N >~ 4M on the axon tunnel), use
+    body_force_symmetric_segmented.
+    """
+    n = pos.shape[0]
+    masses = mass is not None
+    tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, masses, interpret)
+    pos = _pack(pos, mass, n, np_)
+    k = pos.shape[1]  # 3 unit-mass, 4 packed mass
+    pjt = pos.T  # (k, Np)
+    tri_call, cross_call = _build_calls(softening, tile, c, k, interpret)
+
+    if nc == 1:
+        rows, colsT = tri_call(pos, pjt)
+        return (rows + colsT.T)[:n]
+
+    tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c, k)
+    carry = (jnp.zeros((np_, 3), jnp.float32),
+             jnp.zeros((3, np_), jnp.float32), pos, pjt)
+
+    offs = jnp.arange(nc, dtype=jnp.int32) * c
+    carry, _ = jax.lax.scan(tri_body, carry, offs)
+    pair_offs = jnp.asarray(_cross_pair_offsets(nc, c), dtype=jnp.int32)
+    carry, _ = jax.lax.scan(cross_body, carry, pair_offs)
+
+    rows_total, cols_total = carry[0], carry[1]
     out = rows_total + cols_total.T
     return out[:n]
+
+
+def body_force_symmetric_segmented(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    chunk: int = 131072,
+    interpret: bool = False,
+    pairs_per_dispatch: float = 4e12,
+    progress=None,
+):
+    """body_force_symmetric driven as multiple host dispatches, for N where
+    one force pass exceeds the execution watchdog (config 5's N=16M point:
+    ~2.8e14 pairs ~ 13 min of device time in one XLA program).
+
+    Chunk-pair work units are grouped so each dispatch stays under
+    `pairs_per_dispatch`. The default (4e12 ~ 12-25 s of device time) is
+    deliberately well below the nominal ~5 min watchdog: at N=16M a 698-unit
+    (~1.2e13-pair, ~35 s) cross dispatch reproducibly crashed the tunnel's
+    TPU worker while 232-unit dispatches run clean.
+    Each group is one jitted lax.scan reusing the same two Mosaic kernels,
+    with the (rows, cols) accumulators and packed positions staying on
+    device between dispatches. At most 4 programs compile: full/ragged
+    groups x tri/cross. `progress(done_units, total_units)` is called after
+    every dispatch when given.
+    """
+    import numpy as np
+
+    n = pos.shape[0]
+    masses = mass is not None
+    tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, masses, interpret)
+    pos = _pack(pos, mass, n, np_)
+    k = pos.shape[1]
+    pjt = pos.T
+    tri_call, cross_call = _build_calls(softening, tile, c, k, interpret)
+    tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c, k)
+
+    # One tri unit is ~c^2/2 pairs, one cross unit c^2.
+    g_cross = max(1, int(pairs_per_dispatch // (c * c)))
+    g_tri = 2 * g_cross
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_tri(carry, offs):
+        return jax.lax.scan(tri_body, carry, offs)[0]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_cross(carry, pair_offs):
+        return jax.lax.scan(cross_body, carry, pair_offs)[0]
+
+    carry = (jnp.zeros((np_, 3), jnp.float32),
+             jnp.zeros((3, np_), jnp.float32), pos, pjt)
+
+    tri_offs = np.arange(nc, dtype=np.int32) * c
+    cross_offs = np.asarray(_cross_pair_offsets(nc, c), dtype=np.int32)
+    cross_offs = cross_offs.reshape(-1, 2)
+    total = len(tri_offs) + len(cross_offs)
+    done = 0
+
+    def _groups(arr, g):
+        full = len(arr) - len(arr) % g
+        for i in range(0, full, g):
+            yield arr[i:i + g]
+        if full < len(arr):
+            yield arr[full:]
+
+    def _sync(buf):
+        # block_until_ready can return before remote execution completes
+        # through the axon tunnel (CLAUDE.md); only a device->host transfer
+        # actually bounds the dispatch — without it the host queues the
+        # WHOLE run behind one final read and the watchdog kills it.
+        np.asarray(jax.device_get(buf[0, 0]))
+
+    for grp in _groups(tri_offs, g_tri):
+        carry = run_tri(carry, jnp.asarray(grp))
+        _sync(carry[0])
+        done += len(grp)
+        if progress is not None:
+            progress(done, total)
+    for grp in _groups(cross_offs, g_cross):
+        carry = run_cross(carry, jnp.asarray(grp))
+        _sync(carry[0])
+        done += len(grp)
+        if progress is not None:
+            progress(done, total)
+
+    rows_total, cols_total = carry[0], carry[1]
+    return (rows_total + cols_total.T)[:n]
 
 
 @functools.partial(

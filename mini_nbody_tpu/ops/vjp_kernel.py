@@ -110,6 +110,100 @@ def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
     jax.jit,
     static_argnames=("softening", "tile_i", "tile_j", "interpret"),
 )
+def vjp_pos_rect(
+    pos_k,
+    g_k,
+    pos_j,
+    g_j,
+    mass_k=None,
+    mass_j=None,
+    softening: float = SOFTENING,
+    tile_i: int = 256,
+    tile_j: int = 2048,
+    interpret: bool = False,
+):
+    """pos_bar rows for a RECTANGULAR slice of the square self-force VJP:
+    cotangent rows g_k for receivers pos_k, summed over the source set
+    (pos_j, g_j) — the per-shard backward of a mesh-sharded force, where
+    pos_k/g_k are the local shard and pos_j/g_j the gathered (or visiting)
+    bodies. Both the receiver and source terms of the VJP sum over the same
+    "other" index (ops/autodiff.py derivation), so the square kernel body is
+    reused as-is; pos_k must be a subset of pos_j's system for the result to
+    be a true gradient slice (the coincident-pair mask absorbs k's own
+    appearance in the source set). Masses optional (both or neither)."""
+    if (mass_k is None) != (mass_j is None):
+        raise ValueError("vjp_pos_rect needs both masses or neither")
+    nk, nj = pos_k.shape[0], pos_j.shape[0]
+    unit_mass = mass_k is None
+    pos_k = pos_k.astype(jnp.float32)
+    g_k = g_k.astype(jnp.float32)
+    pos_j = pos_j.astype(jnp.float32)
+    g_j = g_j.astype(jnp.float32)
+
+    tile_i = min(tile_i, round_up(nk, 8))
+    tile_j = min(tile_j, round_up(nj, 128))
+    nk_p = round_up(nk, tile_i)
+    nj_p = round_up(nj, tile_j)
+
+    if nk_p != nk:
+        pos_k = jnp.pad(pos_k, ((0, nk_p - nk), (0, 0)))
+        g_k = jnp.pad(g_k, ((0, nk_p - nk), (0, 0)))
+        if not unit_mass:
+            mass_k = jnp.pad(mass_k.astype(jnp.float32), (0, nk_p - nk))
+    if nj_p != nj:
+        from mini_nbody_tpu.utils.config import FAR
+
+        # Far-padded sources: w underflows to 0 so every term is inert even
+        # in unit-mass mode (g_j is zero-padded as well).
+        pos_j = jnp.pad(pos_j, ((0, nj_p - nj), (0, 0)), constant_values=FAR)
+        g_j = jnp.pad(g_j, ((0, nj_p - nj), (0, 0)))
+        if not unit_mass:
+            mass_j = jnp.pad(mass_j.astype(jnp.float32), (0, nj_p - nj))
+
+    if unit_mass:
+        pk = pos_k
+        pjt = pos_j.T
+    else:
+        pk = jnp.concatenate([pos_k, mass_k[:, None]], axis=1)
+        pjt = jnp.concatenate([pos_j.T, mass_j[None, :]], axis=0)
+    gjt = g_j.T
+
+    grid = (nk_p // tile_i, nj_p // tile_j)
+    pairs = nk_p * nj_p
+    out = pl.pallas_call(
+        functools.partial(_vjp_kernel, softening=float(softening),
+                          acc_steps=grid[1], unit_mass=unit_mass),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, pk.shape[1]), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pjt.shape[0], tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nk_p, 3), jnp.float32),
+        compiler_params=_CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=35 * pairs,
+            bytes_accessed=(nk_p * 12 + nj_p * 12) * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(pk, g_k, pjt, gjt)
+    return out[:nk]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile_i", "tile_j", "interpret"),
+)
 def vjp_pos_pallas(
     pos,
     g,

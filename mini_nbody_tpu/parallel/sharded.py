@@ -171,10 +171,77 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
     return force
 
 
-def make_sharded_step_fn(cfg: SimConfig, mesh: Mesh):
-    """Build ``step((state, acc)) -> (state, acc)`` over a sharded carry."""
+def _make_local_diff_force(cfg: SimConfig, n_shards: int):
+    """Differentiable per-device force: forward is the configured exchange
+    (_make_local_force); backward is the analytic pairwise VJP evaluated with
+    its own collective — the backward of a ppermute ring is a ppermute ring
+    (here traversed in the same direction: the gradient is a plain sum over
+    shards, so hop order is free), and the backward of the all-gather is an
+    all-gather of the cotangents. Each hop/gather feeds the rectangular
+    Pallas backward kernel (ops/vjp_kernel.vjp_pos_rect): local receivers x
+    visiting sources. Gradients flow to positions only (mass cotangent 0,
+    matching ops/autodiff.make_body_force_diff)."""
+    from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_rect
+
+    base = _make_local_force(cfg, n_shards)
+    interpret = cfg.resolve_interpret()
+    use_m = cfg.use_masses
+    soft = float(cfg.softening)
+    ring = cfg.comm in ("ring", "ring_sym")
+    perm = [(k, (k + 1) % n_shards) for k in range(n_shards)]
+
+    @jax.custom_vjp
+    def force(pos_local, mass_local):
+        return base(pos_local, pos_local, mass_local)
+
+    def _fwd(pos_local, mass_local):
+        return base(pos_local, pos_local, mass_local), (pos_local, mass_local)
+
+    def _rect(pos_local, g_local, mass_local, pos_src, g_src, mass_src):
+        return vjp_pos_rect(
+            pos_local, g_local, pos_src, g_src,
+            mass_local if use_m else None, mass_src if use_m else None,
+            softening=soft, tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+            interpret=interpret,
+        )
+
+    def _bwd(res, g_local):
+        pos_local, mass_local = res
+        if ring and n_shards > 1:
+            acc = jnp.zeros_like(pos_local)
+            cur = (pos_local, g_local, mass_local)
+            for k in range(n_shards):
+                acc = acc + _rect(pos_local, g_local, mass_local, *cur)
+                if k < n_shards - 1:
+                    cur = tuple(
+                        jax.lax.ppermute(x, BODY_AXIS, perm) for x in cur)
+            pos_bar = acc
+        else:
+            pos_all = jax.lax.all_gather(pos_local, BODY_AXIS, tiled=True)
+            g_all = jax.lax.all_gather(g_local, BODY_AXIS, tiled=True)
+            mass_all = jax.lax.all_gather(mass_local, BODY_AXIS, tiled=True)
+            pos_bar = _rect(pos_local, g_local, mass_local,
+                            pos_all, g_all, mass_all)
+        return pos_bar, jnp.zeros_like(mass_local)
+
+    force.defvjp(_fwd, _bwd)
+
+    def force3(pos_local, _pos_j, mass_local):
+        return force(pos_local, mass_local)
+
+    return force3
+
+
+def make_sharded_step_fn(cfg: SimConfig, mesh: Mesh,
+                         differentiable: bool = False):
+    """Build ``step((state, acc)) -> (state, acc)`` over a sharded carry.
+
+    differentiable=True attaches the analytic force VJP with cross-shard
+    collectives in the backward (_make_local_diff_force), so jax.grad flows
+    through mesh-sharded trajectories."""
     n_shards = mesh.shape[BODY_AXIS]
-    force = _make_local_force(cfg, n_shards)
+    force = (_make_local_diff_force(cfg, n_shards) if differentiable
+             else _make_local_force(cfg, n_shards))
     integ = INTEGRATORS[cfg.integrator]
 
     def local_step(carry):

@@ -37,6 +37,25 @@ def make_step_fn(cfg: SimConfig, differentiable: bool = False):
 
         def force(pos_i, pos_j, mass_j=None):
             return diff(pos_i, mass_j)
+    elif cfg.fused_integrate:
+        # Kernel-epilogue integrate (SURVEY §7 step 2): F never round-trips
+        # HBM. The acc carry is returned as zeros — euler ignores it on
+        # input, and the force stays inside the kernel.
+        from mini_nbody_tpu.ops.pallas_force import euler_step_fused
+
+        interpret = cfg.resolve_interpret()
+
+        def fused_step(carry):
+            state, acc = carry
+            pos, vel = euler_step_fused(
+                state.pos, state.vel,
+                state.mass if cfg.use_masses else None,
+                dt=float(cfg.dt), softening=float(cfg.softening),
+                tile_i=cfg.tile_i, tile_j=cfg.tile_j, interpret=interpret,
+            )
+            return BodyState(pos=pos, vel=vel, mass=state.mass), acc
+
+        return fused_step
     else:
         force = make_force_fn(cfg)
     integ = INTEGRATORS[cfg.integrator]

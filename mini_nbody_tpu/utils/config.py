@@ -76,6 +76,12 @@ class SimConfig:
         False = unit masses (reference semantics, ``src/fxyz.vhd:120-127``
         has no mass factor) — enables the kernels' mass-free fast path with
         far-padded tails.
+      fused_integrate: fold the Euler integrate into the direct kernel's
+        epilogue (ops/pallas_force.euler_step_fused) — the blueprint's
+        SURVEY §7 step 2. Measured +0.7% at N=1M on the pallas backend (the
+        integrate is O(N); the win is the saved F round-trip). Requires
+        integrator="euler", backend="pallas", single chip; the step's acc
+        carry is returned as zeros (F never leaves the kernel).
     """
 
     n: int
@@ -91,6 +97,7 @@ class SimConfig:
     comm: str = "all_gather"
     interpret: Optional[bool] = None
     use_masses: bool = False
+    fused_integrate: bool = False
 
     def __post_init__(self):
         if self.n <= 0:
@@ -114,6 +121,13 @@ class SimConfig:
         if self.comm not in ("all_gather", "ring", "ring_sym"):
             raise ValueError(
                 f"comm must be 'all_gather', 'ring' or 'ring_sym', got {self.comm!r}"
+            )
+        if self.fused_integrate and (
+                self.integrator != "euler" or self.backend != "pallas"
+                or self.mesh_shape is not None):
+            raise ValueError(
+                "fused_integrate requires integrator='euler', "
+                "backend='pallas', single chip"
             )
         if self.tile_i % 8 != 0:
             raise ValueError(f"tile_i must be a multiple of 8 (sublanes), got {self.tile_i}")

@@ -159,3 +159,70 @@ class TestBodyForcePairMasses:
         ma = jnp.ones((8,), jnp.float32)
         with pytest.raises(ValueError, match="both masses or neither"):
             body_force_pair(pa, pa + 1.0, ma, None, interpret=INTERP)
+
+
+class TestSegmentedSymmetric:
+    def _check(self, n, masses):
+        from mini_nbody_tpu.ops.symmetric_force import (
+            body_force_symmetric, body_force_symmetric_segmented)
+
+        s = init.plummer(jax.random.key(n), n)
+        m = s.mass if masses else None
+        ref = np.asarray(body_force_symmetric(
+            s.pos, m, softening=1e-2, tile=64, chunk=64, interpret=INTERP))
+        seen = []
+        got = np.asarray(body_force_symmetric_segmented(
+            s.pos, m, softening=1e-2, tile=64, chunk=64, interpret=INTERP,
+            pairs_per_dispatch=64 * 64 * 3,  # force several host dispatches
+            progress=lambda d, t: seen.append((d, t))))
+        # Same kernels, same order within each unit: bit-exact equivalence.
+        np.testing.assert_array_equal(got, ref)
+        assert len(seen) > 2 and seen[-1][0] == seen[-1][1]
+
+    def test_unit_mass(self):
+        self._check(300, masses=False)
+
+    def test_masses_ragged(self):
+        self._check(520, masses=True)
+
+
+class TestFusedEuler:
+    def test_matches_unfused_step(self):
+        from mini_nbody_tpu.ops.pallas_force import euler_step_fused
+
+        for n, masses in [(256, False), (300, True)]:
+            s = init.plummer(jax.random.key(n), n)
+            m = s.mass if masses else None
+            p2, v2 = euler_step_fused(s.pos, s.vel, m, dt=0.01,
+                                      softening=1e-2, tile_i=64, tile_j=128,
+                                      interpret=INTERP)
+            f = body_force_pallas(s.pos, s.pos, m, softening=1e-2,
+                                  tile_i=64, tile_j=128, interpret=INTERP)
+            vref = s.vel + 0.01 * f
+            pref = s.pos + 0.01 * vref
+            scale = max(float(np.abs(np.asarray(pref)).max()), 1.0)
+            np.testing.assert_allclose(np.asarray(v2), np.asarray(vref),
+                                       rtol=1e-5, atol=1e-6 * scale)
+            np.testing.assert_allclose(np.asarray(p2), np.asarray(pref),
+                                       rtol=1e-5, atol=1e-6 * scale)
+
+    def test_simulate_with_fused_config(self):
+        from mini_nbody_tpu import SimConfig, simulate
+
+        s = init.uniform_random(jax.random.key(2), 128)
+        cfg = SimConfig(n=128, dt=1e-3, steps=5, backend="pallas",
+                        softening=1e-2, tile_i=64, tile_j=128)
+        ref = simulate(cfg, s)
+        out = simulate(cfg.replace(fused_integrate=True), s)
+        scale = float(np.abs(np.asarray(ref.pos)).max())
+        np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                                   rtol=1e-5, atol=1e-6 * scale)
+
+    def test_config_guard(self):
+        from mini_nbody_tpu import SimConfig
+
+        with pytest.raises(ValueError, match="fused_integrate"):
+            SimConfig(n=64, fused_integrate=True, integrator="leapfrog",
+                      backend="pallas")
+        with pytest.raises(ValueError, match="fused_integrate"):
+            SimConfig(n=64, fused_integrate=True, backend="sym")

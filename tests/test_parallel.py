@@ -152,3 +152,49 @@ def test_ring_mass_symmetric_self_hop(mesh):
     np.testing.assert_allclose(
         np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
     )
+
+
+@pytest.mark.parametrize("comm", ["all_gather", "ring"])
+@pytest.mark.parametrize("use_masses", [False, True])
+def test_differentiable_sharded_step(mesh, comm, use_masses):
+    # jax.grad through a 5-step mesh-sharded trajectory must match the
+    # single-chip differentiable step (VERDICT r1 item 7). Backward runs the
+    # rectangular Pallas VJP kernel per gather/ring-hop.
+    import jax.numpy as jnp
+    from mini_nbody_tpu.models.state import BodyState
+    from mini_nbody_tpu.parallel.sharded import _state_specs
+    from mini_nbody_tpu.sim import make_step_fn
+
+    n = 256
+    s = (init.plummer if use_masses else init.uniform_random)(
+        jax.random.key(31), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=5, backend="jnp", comm=comm,
+                    softening=1e-2, use_masses=use_masses)
+
+    step1 = make_step_fn(cfg, differentiable=True)
+
+    def loss_single(pos0):
+        carry = (BodyState(pos=pos0, vel=s.vel, mass=s.mass),
+                 jnp.zeros_like(pos0))
+        for _ in range(5):
+            carry = step1(carry)
+        return jnp.sum(carry[0].pos ** 2)
+
+    ref = np.asarray(jax.grad(loss_single)(s.pos))
+
+    stepP = make_sharded_step_fn(cfg, mesh, differentiable=True)
+    specs = _state_specs()
+
+    def loss_sharded(pos0):
+        state = BodyState(pos=pos0, vel=s.vel, mass=s.mass)
+        state = jax.tree_util.tree_map(
+            lambda x, sp: jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(mesh, sp)), state, specs)
+        carry = (state, jnp.zeros_like(pos0))
+        for _ in range(5):
+            carry = stepP(carry)
+        return jnp.sum(carry[0].pos ** 2)
+
+    got = np.asarray(jax.jit(jax.grad(loss_sharded))(s.pos))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5 * scale)
