@@ -117,17 +117,31 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
     def _bwd(res, g):
         pos, mass = res
         if backward == "pallas":
-            from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_pallas
+            from mini_nbody_tpu.ops.vjp_kernel import (
+                vjp_pos_pallas, vjp_pos_sym)
 
-            kw = {}
-            if tile_i is not None:
-                kw["tile_i"] = tile_i
-            if tile_j is not None:
-                kw["tile_j"] = tile_j
-            pos_bar = vjp_pos_pallas(
-                pos, g, None if unit_mass else mass,
-                softening=softening, interpret=interpret, **kw,
-            )
+            if pos.shape[0] <= 131072:
+                # Each unordered pair once (the pairwise gradient is
+                # antisymmetric); single kernel launch bounded by the
+                # (3, N) VMEM reaction buffer — beyond that, the ordered
+                # j-streaming backward. Like the symmetric forward kernels,
+                # this one has its own tuned tiling (tile=640 measured best;
+                # see force.py's rationale), so cfg tiles are deliberately
+                # not forwarded here.
+                pos_bar = vjp_pos_sym(
+                    pos, g, None if unit_mass else mass,
+                    softening=softening, interpret=interpret,
+                )
+            else:
+                kw = {}
+                if tile_i is not None:
+                    kw["tile_i"] = tile_i
+                if tile_j is not None:
+                    kw["tile_j"] = tile_j
+                pos_bar = vjp_pos_pallas(
+                    pos, g, None if unit_mass else mass,
+                    softening=softening, interpret=interpret, **kw,
+                )
         else:
             pos_bar = _vjp_pos(pos, g, mass, softening)
         return pos_bar, jnp.zeros_like(mass)

@@ -106,6 +106,226 @@ def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
             out_ref[:] = out_ref[:] + f
 
 
+def _pair_grad_block(pa, ga, pbt, gbt, softening, masses):
+    """Per-UNORDERED-pair gradient contribution, summed both ways.
+
+    With d = p_b - p_a and shared w = s^-3/2, u = s^-5/2, the pair's
+    contribution to pos_bar_a is
+
+        t = w (m_a g_b - m_b g_a) + 3 u (m_b (g_a.d) - m_a (g_b.d)) d
+
+    and its contribution to pos_bar_b is exactly -t (translation invariance:
+    the pair's gradient sums to zero), so like the force itself the backward
+    is antisymmetric and each unordered pair needs computing ONCE. Returns
+    (row sums of t over b, column sums of t over a) — caller adds rows to a
+    and SUBTRACTS the column sums from b."""
+    xa, ya, za = pa[:, 0:1], pa[:, 1:2], pa[:, 2:3]
+    dx = pbt[0:1, :] - xa
+    dy = pbt[1:2, :] - ya
+    dz = pbt[2:3, :] - za
+    d2 = dx * dx + dy * dy + dz * dz
+    s = d2 + jnp.asarray(softening, dx.dtype)
+    inv = jax.lax.rsqrt(s)
+    inv2 = inv * inv
+    w = inv2 * inv
+    u = w * inv2
+    zero = d2 == 0.0
+    w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
+    u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
+
+    gax, gay, gaz = ga[:, 0:1], ga[:, 1:2], ga[:, 2:3]
+    gbx, gby, gbz = gbt[0:1, :], gbt[1:2, :], gbt[2:3, :]
+    dot_a = gax * dx + gay * dy + gaz * dz  # g_a . d
+    dot_b = gbx * dx + gby * dy + gbz * dz  # g_b . d
+
+    if masses:
+        ma = pa[:, 3:4]
+        mb = pbt[3:4, :]
+        coeff = 3.0 * (u * (mb * dot_a - ma * dot_b))
+        tx = coeff * dx + w * (ma * gbx - mb * gax)
+        ty = coeff * dy + w * (ma * gby - mb * gay)
+        tz = coeff * dz + w * (ma * gbz - mb * gaz)
+    else:
+        coeff = 3.0 * (u * (dot_a - dot_b))
+        tx = coeff * dx + w * (gbx - gax)
+        ty = coeff * dy + w * (gby - gay)
+        tz = coeff * dz + w * (gbz - gaz)
+
+    rows = jnp.concatenate(
+        [jnp.sum(tx, axis=1, keepdims=True),
+         jnp.sum(ty, axis=1, keepdims=True),
+         jnp.sum(tz, axis=1, keepdims=True)], axis=1)
+    cols = jnp.concatenate(
+        [jnp.sum(tx, axis=0, keepdims=True),
+         jnp.sum(ty, axis=0, keepdims=True),
+         jnp.sum(tz, axis=0, keepdims=True)], axis=0)
+    return rows, cols
+
+
+def _ordered_block(pk, gk, pjt, gjt, softening, unit_mass):
+    """Full ordered-pair pos_bar rows for one block — the _vjp_kernel math
+    as a pure-array helper (used for the diagonal blocks of the symmetric
+    backward, where row sums already cover both pair orders)."""
+    xk, yk, zk = pk[:, 0:1], pk[:, 1:2], pk[:, 2:3]
+    gkx, gky, gkz = gk[:, 0:1], gk[:, 1:2], gk[:, 2:3]
+    dx = pjt[0:1, :] - xk
+    dy = pjt[1:2, :] - yk
+    dz = pjt[2:3, :] - zk
+    d2 = dx * dx + dy * dy + dz * dz
+    s = d2 + jnp.asarray(softening, dx.dtype)
+    inv = jax.lax.rsqrt(s)
+    inv2 = inv * inv
+    w = inv2 * inv
+    u = w * inv2
+    zero = d2 == 0.0
+    w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
+    u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
+
+    gjx = gjt[0:1, :]
+    gjy = gjt[1:2, :]
+    gjz = gjt[2:3, :]
+    dot_gk_d = gkx * dx + gky * dy + gkz * dz
+    dot_gj_d = gjx * dx + gjy * dy + gjz * dz
+
+    if unit_mass:
+        coeff = 3.0 * (u * (dot_gk_d - dot_gj_d))
+        tx = jnp.sum(coeff * dx + w * gjx, axis=1, keepdims=True)
+        ty = jnp.sum(coeff * dy + w * gjy, axis=1, keepdims=True)
+        tz = jnp.sum(coeff * dz + w * gjz, axis=1, keepdims=True)
+        sw = jnp.sum(w, axis=1, keepdims=True)
+        return jnp.concatenate(
+            [tx - gkx * sw, ty - gky * sw, tz - gkz * sw], axis=1)
+    mj = pjt[3:4, :]
+    mk = pk[:, 3:4]
+    a = 3.0 * (u * mj * dot_gk_d)
+    smw = jnp.sum(w * mj, axis=1, keepdims=True)
+    rx = jnp.sum(a * dx, axis=1, keepdims=True) - gkx * smw
+    ry = jnp.sum(a * dy, axis=1, keepdims=True) - gky * smw
+    rz = jnp.sum(a * dz, axis=1, keepdims=True) - gkz * smw
+    b = 3.0 * (u * dot_gj_d)
+    sx = jnp.sum(w * gjx - b * dx, axis=1, keepdims=True)
+    sy = jnp.sum(w * gjy - b * dy, axis=1, keepdims=True)
+    sz = jnp.sum(w * gjz - b * dz, axis=1, keepdims=True)
+    return jnp.concatenate(
+        [rx + mk * sx, ry + mk * sy, rz + mk * sz], axis=1)
+
+
+def _sym_vjp_tri_kernel(p_ref, g_ref, pt_ref, gt_ref, rows_ref, colsT_ref, *,
+                        softening, tile, nb, masses):
+    """Diagonal-band step of the symmetric backward (structure identical to
+    symmetric_force._tri_kernel): block (i, (i+d) mod nb) at grid (i, d).
+    d == 0 uses the ordered formula (rows cover both orders); d > 0 computes
+    each unordered pair once and scatters antisymmetrically."""
+    i = pl.program_id(0)
+    d = pl.program_id(1)
+    jg = jax.lax.rem(i + d, jnp.int32(nb))
+
+    @pl.when(jnp.logical_and(d == 0, i == 0))
+    def _zero_cols():
+        colsT_ref[:] = jnp.zeros_like(colsT_ref)
+
+    active = jnp.logical_or(d * 2 != nb, i * 2 < nb)
+
+    @pl.when(jnp.logical_and(active, d == 0))
+    def _diag():
+        rows_ref[:] = _ordered_block(
+            p_ref[:], g_ref[:], pt_ref[:], gt_ref[:], softening,
+            unit_mass=not masses)
+
+    @pl.when(jnp.logical_and(active, d > 0))
+    def _band():
+        rows, cols = _pair_grad_block(
+            p_ref[:], g_ref[:], pt_ref[:], gt_ref[:], softening, masses)
+        rows_ref[:] = rows_ref[:] + rows
+        cj = pl.ds(jg * tile, tile)
+        colsT_ref[:, cj] = colsT_ref[:, cj] - cols
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret"),
+)
+def vjp_pos_sym(
+    pos,
+    g,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int = 640,  # measured best on v5e (72.5 G pair-grads/s at N=65536;
+                      # 69.6 at 512, 71.4 at 768; 1024 exceeds VMEM)
+    interpret: bool = False,
+):
+    """pos_bar for cotangent g of the square self-force, each unordered pair
+    computed ONCE (the pairwise gradient is antisymmetric — see
+    _pair_grad_block). Same diagonal-band traversal and constant-index
+    reaction buffer as the symmetric forward kernel; ~1.7x the ordered
+    backward (vjp_pos_pallas) at large N. Single-chunk (whole N in one
+    kernel launch): the backward is called at trajectory-optimization sizes,
+    far below the chunking threshold."""
+    from mini_nbody_tpu.utils.config import FAR
+
+    n = pos.shape[0]
+    masses = mass is not None
+    pos = pos.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+
+    tile = min(tile, round_up(n, 8))
+    if not interpret and tile < round_up(n, 8):
+        tile = round_up(tile, 128)
+    np_ = round_up(n, tile)
+    if np_ != n:
+        pad = np_ - n
+        pos = jnp.pad(pos, ((0, pad), (0, 0)),
+                      constant_values=FAR if not masses else 0.0)
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        if masses:
+            mass = jnp.pad(mass.astype(jnp.float32), (0, pad))
+    if masses:
+        p = jnp.concatenate([pos, mass.astype(jnp.float32)[:, None]], axis=1)
+    else:
+        p = pos
+    k = p.shape[1]
+    pt = p.T
+    gt = g.T
+
+    nb = np_ // tile
+    nd = nb // 2 + 1
+    vm = pltpu.VMEM
+    pairs = np_ * np_
+    rows, colsT = pl.pallas_call(
+        functools.partial(_sym_vjp_tri_kernel, softening=float(softening),
+                          tile=tile, nb=nb, masses=masses),
+        grid=(nb, nd),
+        in_specs=[
+            pl.BlockSpec((tile, k), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((k, tile),
+                         lambda i, d: (0, jax.lax.rem(i + d, jnp.int32(nb))),
+                         memory_space=vm),
+            pl.BlockSpec((3, tile),
+                         lambda i, d: (0, jax.lax.rem(i + d, jnp.int32(nb))),
+                         memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, np_), lambda i, d: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, np_), jnp.float32),
+        ],
+        compiler_params=_CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=22 * pairs,
+            bytes_accessed=(np_ * 24) * 4,
+            transcendentals=pairs // 2,
+        ),
+        interpret=interpret,
+    )(p, g, pt, gt)
+    return (rows + colsT.T)[:n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("softening", "tile_i", "tile_j", "interpret"),
