@@ -154,7 +154,7 @@ def test_ring_mass_symmetric_self_hop(mesh):
     )
 
 
-@pytest.mark.parametrize("comm", ["all_gather", "ring"])
+@pytest.mark.parametrize("comm", ["all_gather", "ring", "ring_sym"])
 @pytest.mark.parametrize("use_masses", [False, True])
 def test_differentiable_sharded_step(mesh, comm, use_masses):
     # jax.grad through a 5-step mesh-sharded trajectory must match the
