@@ -392,16 +392,25 @@ def body_force_symmetric_segmented(
     g_cross = max(1, int(pairs_per_dispatch // (c * c)))
     g_tri = 2 * g_cross
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_tri(carry, offs):
-        return jax.lax.scan(tri_body, carry, offs)[0]
+    # Donate ONLY the accumulators: pos/pjt may alias the caller's arrays
+    # (_pack is a no-op for chunk-aligned fp32 unit-mass input) — donating
+    # the whole carry invalidated state.pos for whatever ran after the
+    # force (TPU INVALID_ARGUMENT; invisible on CPU, which ignores
+    # donation).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_tri(rows, cols, pos_, pjt_, offs):
+        (rows, cols, _, _), _ = jax.lax.scan(
+            tri_body, (rows, cols, pos_, pjt_), offs)
+        return rows, cols
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_cross(carry, pair_offs):
-        return jax.lax.scan(cross_body, carry, pair_offs)[0]
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_cross(rows, cols, pos_, pjt_, pair_offs):
+        (rows, cols, _, _), _ = jax.lax.scan(
+            cross_body, (rows, cols, pos_, pjt_), pair_offs)
+        return rows, cols
 
-    carry = (jnp.zeros((np_, 3), jnp.float32),
-             jnp.zeros((3, np_), jnp.float32), pos, pjt)
+    rows_cols = (jnp.zeros((np_, 3), jnp.float32),
+                 jnp.zeros((3, np_), jnp.float32))
 
     tri_offs = np.arange(nc, dtype=np.int32) * c
     cross_offs = np.asarray(_cross_pair_offsets(nc, c), dtype=np.int32)
@@ -424,19 +433,19 @@ def body_force_symmetric_segmented(
         np.asarray(jax.device_get(buf[0, 0]))
 
     for grp in _groups(tri_offs, g_tri):
-        carry = run_tri(carry, jnp.asarray(grp))
-        _sync(carry[0])
+        rows_cols = run_tri(*rows_cols, pos, pjt, jnp.asarray(grp))
+        _sync(rows_cols[0])
         done += len(grp)
         if progress is not None:
             progress(done, total)
     for grp in _groups(cross_offs, g_cross):
-        carry = run_cross(carry, jnp.asarray(grp))
-        _sync(carry[0])
+        rows_cols = run_cross(*rows_cols, pos, pjt, jnp.asarray(grp))
+        _sync(rows_cols[0])
         done += len(grp)
         if progress is not None:
             progress(done, total)
 
-    rows_total, cols_total = carry[0], carry[1]
+    rows_total, cols_total = rows_cols
     return (rows_total + cols_total.T)[:n]
 
 

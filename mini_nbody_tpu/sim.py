@@ -114,6 +114,12 @@ def simulate(
     device throughout.
     """
     steps = cfg.steps if steps is None else steps
+    per_step = float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
+    if per_step > MAX_DEVICE_SECONDS_PER_DISPATCH:
+        # One force pass alone exceeds the watchdog (N >~ 3.5M at the
+        # conservative rate): step from the host with the chunk-group-
+        # segmented symmetric force (bit-identical to backend 'sym').
+        return _simulate_hostseg(cfg, state, steps)
     carry = init_carry(cfg, state)
     seg = max_steps_per_dispatch(cfg.n)
     if steps <= seg:
@@ -127,14 +133,33 @@ def simulate(
     return carry[0]
 
 
+def _simulate_hostseg(cfg: SimConfig, state: BodyState, steps: int) -> BodyState:
+    """Host-stepped loop for N where one force pass would trip the watchdog:
+    the force runs as multiple dispatches (body_force_symmetric_segmented,
+    bit-identical to the 'sym' backend), integration as plain O(N) jnp ops.
+    Used automatically by simulate; any configured backend routes to the
+    symmetric kernel here (the only one with a segmented driver)."""
+    from mini_nbody_tpu.ops.symmetric_force import (
+        body_force_symmetric_segmented)
+
+    interpret = cfg.resolve_interpret()
+
+    def force(pos_i, _pos_j, mass_j):
+        return body_force_symmetric_segmented(
+            pos_i, mass_j if cfg.use_masses else None,
+            softening=float(cfg.softening), interpret=interpret,
+        )
+
+    integ = INTEGRATORS[cfg.integrator]
+    acc = initial_acc(state, force, cfg.integrator)
+    for _ in range(steps):
+        state, acc = integ(state, acc, force, cfg.dt)
+    return state
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps", "save_every"))
-def trajectory(cfg: SimConfig, state: BodyState, steps: int, save_every: int = 1):
-    """Like simulate, but also returns stacked position snapshots every
-    `save_every` steps: (state_final, pos_history[steps//save_every, N, 3])."""
-    if steps % save_every != 0:
-        raise ValueError("steps must be divisible by save_every")
+def _trajectory_scan(cfg: SimConfig, carry, steps: int, save_every: int):
     step = make_step_fn(cfg)
-    carry = init_carry(cfg, state)
 
     def outer(c, _):
         def inner(c2, _):
@@ -143,5 +168,29 @@ def trajectory(cfg: SimConfig, state: BodyState, steps: int, save_every: int = 1
         c, _ = jax.lax.scan(inner, c, None, length=save_every)
         return c, c[0].pos
 
-    carry, hist = jax.lax.scan(outer, carry, None, length=steps // save_every)
-    return carry[0], hist
+    return jax.lax.scan(outer, carry, None, length=steps // save_every)
+
+
+def trajectory(cfg: SimConfig, state: BodyState, steps: int, save_every: int = 1):
+    """Like simulate, but also returns stacked position snapshots every
+    `save_every` steps: (state_final, pos_history[steps//save_every, N, 3]).
+
+    Watchdog-segmented like simulate: long runs split into host dispatches
+    on save_every boundaries, snapshot chunks concatenated on host.
+    """
+    if steps % save_every != 0:
+        raise ValueError("steps must be divisible by save_every")
+    carry = init_carry(cfg, state)
+    seg = max_steps_per_dispatch(cfg.n)
+    seg = max(save_every, seg - seg % save_every)  # multiple of save_every
+    if steps <= seg:
+        carry, hist = _trajectory_scan(cfg, carry, steps, save_every)
+        return carry[0], hist
+    chunks = []
+    done = 0
+    while done < steps:
+        k = min(seg, steps - done)
+        carry, hist = _trajectory_scan(cfg, carry, k, save_every)
+        chunks.append(hist)
+        done += k
+    return carry[0], jnp.concatenate(chunks, axis=0)

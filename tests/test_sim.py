@@ -138,3 +138,45 @@ def test_max_steps_per_dispatch_scales():
     single = max_steps_per_dispatch(1 << 20)
     assert 8 * single <= max_steps_per_dispatch(1 << 20, n_devices=8) \
         <= 8 * (single + 1)
+
+
+def test_trajectory_segmentation_matches_single_program(monkeypatch):
+    import numpy as np
+    from mini_nbody_tpu import sim as simmod
+    from mini_nbody_tpu.models import init as minit
+    from mini_nbody_tpu.utils.config import SimConfig
+
+    cfg = SimConfig(n=64, dt=1e-3, steps=12, backend="jnp", softening=1e-2)
+    state = minit.uniform_random(jax.random.key(23), 64)
+    ref_final, ref_hist = simmod.trajectory(cfg, state, steps=12, save_every=2)
+    monkeypatch.setattr(simmod, "MAX_DEVICE_SECONDS_PER_DISPATCH",
+                        4 * 64 * 64 / (simmod._CONSERVATIVE_GINTER_S * 1e9))
+    out_final, out_hist = simmod.trajectory(cfg, state, steps=12, save_every=2)
+    assert out_hist.shape == ref_hist.shape == (6, 64, 3)
+    np.testing.assert_array_equal(np.asarray(out_hist), np.asarray(ref_hist))
+    np.testing.assert_array_equal(np.asarray(out_final.pos),
+                                  np.asarray(ref_final.pos))
+
+
+def test_hostseg_simulate_matches_sym(monkeypatch):
+    # When one force pass would exceed the watchdog, simulate steps from the
+    # host with the segmented symmetric force — results must match the
+    # normal sym path (the segmented force is bit-identical; integrate ops
+    # may fuse differently, hence allclose).
+    import numpy as np
+    from mini_nbody_tpu import sim as simmod
+    from mini_nbody_tpu.models import init as minit
+    from mini_nbody_tpu.utils.config import SimConfig
+
+    cfg = SimConfig(n=96, dt=1e-3, steps=4, backend="sym", softening=1e-2,
+                    integrator="leapfrog", use_masses=True)
+    state = minit.plummer(jax.random.key(29), 96)
+    ref = simmod.simulate(cfg, state)
+    monkeypatch.setattr(simmod, "MAX_DEVICE_SECONDS_PER_DISPATCH",
+                        0.5 * 96 * 96 / (simmod._CONSERVATIVE_GINTER_S * 1e9))
+    out = simmod.simulate(cfg, state)
+    scale = float(np.abs(np.asarray(ref.pos)).max())
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-6, atol=1e-7 * scale)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=1e-6, atol=1e-6 * scale)
