@@ -32,8 +32,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _vjp_pos(pos, g, mass, softening, row_chunk: int | None = None):
-    """pos_bar for cotangent g of F(pos): square, self-interacting system."""
+def _vjp_pos(pos, g, mass, softening, row_chunk: int | None = None,
+             with_mass_grad: bool = False):
+    """pos_bar for cotangent g of F(pos): square, self-interacting system.
+    with_mass_grad=True also returns mass_bar: dF_j/dm_k = w_jk d_jk exactly
+    (w carries no mass factor), so mass_bar_k = -sum_j w (g_j . d_kj) with
+    the same d, w as the position terms."""
     n = pos.shape[0]
     if row_chunk is None:
         # Cap the (row_chunk, N, 3) broadcast intermediates at ~192 MB — a
@@ -76,7 +80,12 @@ def _vjp_pos(pos, g, mass, softening, row_chunk: int | None = None):
                        precision=jax.lax.Precision.HIGHEST)
             - 3.0 * jnp.sum((u * dot_gi_d)[:, :, None] * d, axis=1)
         )
-        return t_recv + t_src
+        pos_bar = t_recv + t_src
+        if not with_mass_grad:
+            return pos_bar
+        # mass_bar_k = sum over receivers j of g_j . (w d_jk), d_jk = -d
+        mass_bar = -jnp.sum(w * dot_gi_d, axis=1)
+        return pos_bar, mass_bar
 
     if n <= row_chunk:
         return block((pos, g, mass))
@@ -91,21 +100,29 @@ def _vjp_pos(pos, g, mass, softening, row_chunk: int | None = None):
         g.reshape(-1, row_chunk, 3),
         mass.reshape(-1, row_chunk),
     )
-    out = jax.lax.map(block, chunks).reshape(n_pad, 3)
-    return out[:n]
+    out = jax.lax.map(block, chunks)
+    if with_mass_grad:
+        pos_bar, mass_bar = out
+        return pos_bar.reshape(n_pad, 3)[:n], mass_bar.reshape(n_pad)[:n]
+    return out.reshape(n_pad, 3)[:n]
 
 
 def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
                          interpret: bool = False, unit_mass: bool = False,
-                         tile_i: int | None = None, tile_j: int | None = None):
+                         tile_i: int | None = None, tile_j: int | None = None,
+                         mass_grad: bool = False):
     """Wrap ``force_impl(pos, mass) -> (N,3)`` (square self-force, any
     backend, non-differentiable) into a custom-VJP differentiable function.
 
     Forward runs the kernel; backward is the analytic pairwise VJP —
-    either chunked jnp (backward="jnp"; portable, memory-bound ~1 G
-    pair-grads/s) or the Pallas backward kernel (backward="pallas";
-    ~100x faster on TPU, ops/vjp_kernel.py). Gradients flow to pos only
-    (mass is treated as a static property; its cotangent is zero)."""
+    either chunked jnp (backward="jnp"; portable, memory-bound) or the
+    Pallas backward kernels (backward="pallas"; ops/vjp_kernel.py).
+    Gradients flow to pos; with mass_grad=True also to the per-body masses
+    (dF_j/dm_k = w d_jk, ~2 extra ops/pair), otherwise the mass cotangent
+    is zero (mass treated as a static property)."""
+    if mass_grad and unit_mass:
+        raise ValueError("mass_grad=True requires a mass-mode force "
+                         "(unit_mass=False)")
 
     @jax.custom_vjp
     def body_force_diff(pos, mass):
@@ -116,7 +133,8 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
 
     def _bwd(res, g):
         pos, mass = res
-        if backward == "pallas":
+        if backward == "pallas" and (not mass_grad
+                                     or pos.shape[0] <= 131072):
             from mini_nbody_tpu.ops.vjp_kernel import (
                 vjp_pos_pallas, vjp_pos_sym)
 
@@ -128,32 +146,41 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
                 # this one has its own tuned tiling (tile=640 measured best;
                 # see force.py's rationale), so cfg tiles are deliberately
                 # not forwarded here.
-                pos_bar = vjp_pos_sym(
+                out = vjp_pos_sym(
                     pos, g, None if unit_mass else mass,
                     softening=softening, interpret=interpret,
+                    mass_grad=mass_grad,
                 )
-            else:
-                kw = {}
-                if tile_i is not None:
-                    kw["tile_i"] = tile_i
-                if tile_j is not None:
-                    kw["tile_j"] = tile_j
-                pos_bar = vjp_pos_pallas(
-                    pos, g, None if unit_mass else mass,
-                    softening=softening, interpret=interpret, **kw,
-                )
-        else:
-            pos_bar = _vjp_pos(pos, g, mass, softening)
-        return pos_bar, jnp.zeros_like(mass)
+                if mass_grad:
+                    return out
+                return out, jnp.zeros_like(mass)
+            kw = {}
+            if tile_i is not None:
+                kw["tile_i"] = tile_i
+            if tile_j is not None:
+                kw["tile_j"] = tile_j
+            pos_bar = vjp_pos_pallas(
+                pos, g, None if unit_mass else mass,
+                softening=softening, interpret=interpret, **kw,
+            )
+            return pos_bar, jnp.zeros_like(mass)
+        # jnp backward (also the mass_grad path beyond the sym kernel's
+        # single-launch bound — the ordered kernel has no mass output).
+        out = _vjp_pos(pos, g, mass, softening, with_mass_grad=mass_grad)
+        if mass_grad:
+            return out
+        return out, jnp.zeros_like(mass)
 
     body_force_diff.defvjp(_fwd, _bwd)
     return body_force_diff
 
 
-def make_differentiable_force(cfg):
+def make_differentiable_force(cfg, mass_grad: bool = False):
     """Differentiable ``force(pos, mass=None) -> (N,3)`` over the configured
     kernel (SimConfig.backend), suitable for jax.grad / jax.vjp. The backward
-    uses the Pallas VJP kernel whenever the forward is a Pallas backend."""
+    uses the Pallas VJP kernels whenever the forward is a Pallas backend.
+    mass_grad=True (requires cfg.use_masses) also yields gradients w.r.t.
+    the per-body masses."""
     from mini_nbody_tpu.ops.force import make_force_fn
 
     inner = make_force_fn(cfg)
@@ -165,7 +192,7 @@ def make_differentiable_force(cfg):
     diff = make_body_force_diff(
         impl, float(cfg.softening), backward=backward,
         interpret=cfg.resolve_interpret(), unit_mass=not cfg.use_masses,
-        tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+        tile_i=cfg.tile_i, tile_j=cfg.tile_j, mass_grad=mass_grad,
     )
 
     def force(pos, mass=None):

@@ -106,7 +106,8 @@ def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
             out_ref[:] = out_ref[:] + f
 
 
-def _pair_grad_block(pa, ga, pbt, gbt, softening, masses):
+def _pair_grad_block(pa, ga, pbt, gbt, softening, masses,
+                     mass_grad=False):
     """Per-UNORDERED-pair gradient contribution, summed both ways.
 
     With d = p_b - p_a and shared w = s^-3/2, u = s^-5/2, the pair's
@@ -151,21 +152,28 @@ def _pair_grad_block(pa, ga, pbt, gbt, softening, masses):
         ty = coeff * dy + w * (gby - gay)
         tz = coeff * dz + w * (gbz - gaz)
 
-    rows = jnp.concatenate(
-        [jnp.sum(tx, axis=1, keepdims=True),
-         jnp.sum(ty, axis=1, keepdims=True),
-         jnp.sum(tz, axis=1, keepdims=True)], axis=1)
-    cols = jnp.concatenate(
-        [jnp.sum(tx, axis=0, keepdims=True),
-         jnp.sum(ty, axis=0, keepdims=True),
-         jnp.sum(tz, axis=0, keepdims=True)], axis=0)
-    return rows, cols
+    row_parts = [jnp.sum(tx, axis=1, keepdims=True),
+                 jnp.sum(ty, axis=1, keepdims=True),
+                 jnp.sum(tz, axis=1, keepdims=True)]
+    col_parts = [jnp.sum(tx, axis=0, keepdims=True),
+                 jnp.sum(ty, axis=0, keepdims=True),
+                 jnp.sum(tz, axis=0, keepdims=True)]
+    if mass_grad:
+        # dF_b/dm_a = -w d and dF_a/dm_b = w d (w has no mass factor):
+        # mass_bar_a += -w (g_b.d), mass_bar_b += w (g_a.d).
+        row_parts.append(jnp.sum(-w * dot_b, axis=1, keepdims=True))
+        col_parts.append(jnp.sum(w * dot_a, axis=0, keepdims=True))
+    return (jnp.concatenate(row_parts, axis=1),
+            jnp.concatenate(col_parts, axis=0))
 
 
-def _ordered_block(pk, gk, pjt, gjt, softening, unit_mass):
+def _ordered_block(pk, gk, pjt, gjt, softening, unit_mass,
+                   mass_grad=False):
     """Full ordered-pair pos_bar rows for one block — the _vjp_kernel math
     as a pure-array helper (used for the diagonal blocks of the symmetric
-    backward, where row sums already cover both pair orders)."""
+    backward, where row sums already cover both pair orders). With
+    mass_grad (mass mode only), also returns the block's mass-cotangent
+    column sums (1,T): mass_bar_j = sum_k w (g_k . d_kj)."""
     xk, yk, zk = pk[:, 0:1], pk[:, 1:2], pk[:, 2:3]
     gkx, gky, gkz = gk[:, 0:1], gk[:, 1:2], gk[:, 2:3]
     dx = pjt[0:1, :] - xk
@@ -206,16 +214,22 @@ def _ordered_block(pk, gk, pjt, gjt, softening, unit_mass):
     sx = jnp.sum(w * gjx - b * dx, axis=1, keepdims=True)
     sy = jnp.sum(w * gjy - b * dy, axis=1, keepdims=True)
     sz = jnp.sum(w * gjz - b * dz, axis=1, keepdims=True)
-    return jnp.concatenate(
+    f = jnp.concatenate(
         [rx + mk * sx, ry + mk * sy, rz + mk * sz], axis=1)
+    if mass_grad:
+        return f, jnp.sum(w * dot_gk_d, axis=0, keepdims=True)
+    return f
 
 
 def _sym_vjp_tri_kernel(p_ref, g_ref, pt_ref, gt_ref, rows_ref, colsT_ref, *,
-                        softening, tile, nb, masses):
+                        softening, tile, nb, masses, mass_grad):
     """Diagonal-band step of the symmetric backward (structure identical to
     symmetric_force._tri_kernel): block (i, (i+d) mod nb) at grid (i, d).
     d == 0 uses the ordered formula (rows cover both orders); d > 0 computes
-    each unordered pair once and scatters antisymmetrically."""
+    each unordered pair once and scatters antisymmetrically (the mass
+    cotangent rides as a 4th rows column / colsT row; its pair term is NOT
+    antisymmetric, so its column side accumulates with + while the position
+    columns accumulate with -)."""
     i = pl.program_id(0)
     d = pl.program_id(1)
     jg = jax.lax.rem(i + d, jnp.int32(nb))
@@ -228,22 +242,35 @@ def _sym_vjp_tri_kernel(p_ref, g_ref, pt_ref, gt_ref, rows_ref, colsT_ref, *,
 
     @pl.when(jnp.logical_and(active, d == 0))
     def _diag():
-        rows_ref[:] = _ordered_block(
+        out = _ordered_block(
             p_ref[:], g_ref[:], pt_ref[:], gt_ref[:], softening,
-            unit_mass=not masses)
+            unit_mass=not masses, mass_grad=mass_grad)
+        if mass_grad:
+            f, mcols = out
+            rows_ref[:, 0:3] = f
+            rows_ref[:, 3:4] = jnp.zeros_like(rows_ref[:, 3:4])
+            cj = pl.ds(jg * tile, tile)
+            colsT_ref[3:4, cj] = colsT_ref[3:4, cj] + mcols
+        else:
+            rows_ref[:] = out
 
     @pl.when(jnp.logical_and(active, d > 0))
     def _band():
         rows, cols = _pair_grad_block(
-            p_ref[:], g_ref[:], pt_ref[:], gt_ref[:], softening, masses)
+            p_ref[:], g_ref[:], pt_ref[:], gt_ref[:], softening, masses,
+            mass_grad=mass_grad)
         rows_ref[:] = rows_ref[:] + rows
         cj = pl.ds(jg * tile, tile)
-        colsT_ref[:, cj] = colsT_ref[:, cj] - cols
+        if mass_grad:
+            colsT_ref[0:3, cj] = colsT_ref[0:3, cj] - cols[0:3]
+            colsT_ref[3:4, cj] = colsT_ref[3:4, cj] + cols[3:4]
+        else:
+            colsT_ref[:, cj] = colsT_ref[:, cj] - cols
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softening", "tile", "interpret"),
+    static_argnames=("softening", "tile", "interpret", "mass_grad"),
 )
 def vjp_pos_sym(
     pos,
@@ -253,16 +280,23 @@ def vjp_pos_sym(
     tile: int = 640,  # measured best on v5e (72.5 G pair-grads/s at N=65536;
                       # 69.6 at 512, 71.4 at 768; 1024 exceeds VMEM)
     interpret: bool = False,
+    mass_grad: bool = False,
 ):
     """pos_bar for cotangent g of the square self-force, each unordered pair
     computed ONCE (the pairwise gradient is antisymmetric — see
     _pair_grad_block). Same diagonal-band traversal and constant-index
-    reaction buffer as the symmetric forward kernel; ~1.7x the ordered
-    backward (vjp_pos_pallas) at large N. Single-chunk (whole N in one
-    kernel launch): the backward is called at trajectory-optimization sizes,
-    far below the chunking threshold."""
+    reaction buffer as the symmetric forward kernel; ~1.5x the ordered
+    backward (vjp_pos_pallas). Single-chunk (whole N in one kernel launch):
+    the backward is called at trajectory-optimization sizes, far below the
+    chunking threshold.
+
+    mass_grad=True (mass mode only) also returns mass_bar — the cotangent
+    w.r.t. per-body masses (dF_j/dm_k = w d_jk) — for ~2 extra VPU ops and
+    2 reductions per pair: returns (pos_bar, mass_bar)."""
     from mini_nbody_tpu.utils.config import FAR
 
+    if mass_grad and mass is None:
+        raise ValueError("mass_grad=True requires per-body masses")
     n = pos.shape[0]
     masses = mass is not None
     pos = pos.astype(jnp.float32)
@@ -291,9 +325,11 @@ def vjp_pos_sym(
     nd = nb // 2 + 1
     vm = pltpu.VMEM
     pairs = np_ * np_
+    ko = 4 if mass_grad else 3  # output row width (+ mass-cotangent column)
     rows, colsT = pl.pallas_call(
         functools.partial(_sym_vjp_tri_kernel, softening=float(softening),
-                          tile=tile, nb=nb, masses=masses),
+                          tile=tile, nb=nb, masses=masses,
+                          mass_grad=mass_grad),
         grid=(nb, nd),
         in_specs=[
             pl.BlockSpec((tile, k), lambda i, d: (i, 0), memory_space=vm),
@@ -306,24 +342,27 @@ def vjp_pos_sym(
                          memory_space=vm),
         ],
         out_specs=[
-            pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
-            pl.BlockSpec((3, np_), lambda i, d: (0, 0), memory_space=vm),
+            pl.BlockSpec((tile, ko), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((ko, np_), lambda i, d: (0, 0), memory_space=vm),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((np_, 3), jnp.float32),
-            jax.ShapeDtypeStruct((3, np_), jnp.float32),
+            jax.ShapeDtypeStruct((np_, ko), jnp.float32),
+            jax.ShapeDtypeStruct((ko, np_), jnp.float32),
         ],
         compiler_params=_CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=22 * pairs,
+            flops=(26 if mass_grad else 22) * pairs,
             bytes_accessed=(np_ * 24) * 4,
             transcendentals=pairs // 2,
         ),
         interpret=interpret,
     )(p, g, pt, gt)
-    return (rows + colsT.T)[:n]
+    total = rows + colsT.T
+    if mass_grad:
+        return total[:n, 0:3], total[:n, 3]
+    return total[:n]
 
 
 @functools.partial(
