@@ -147,6 +147,62 @@ def _common_params(pairs, io_bytes):
     )
 
 
+def _build_calls(softening, tile, c, interpret):
+    """The two Mosaic kernels for chunk size c (shared by the one-program
+    and host-segmented drivers)."""
+    nb = c // tile
+    nd = nb // 2 + 1
+    fast = float(softening) >= 1e-12
+    vm = pltpu.VMEM
+    tri_call = pl.pallas_call(
+        functools.partial(_tri_kernel, softening=float(softening), tile=tile,
+                          fast=fast, nb=nb),
+        grid=(nb, nd),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, tile),
+                         lambda i, d: (0, jax.lax.rem(i + d, jnp.int32(nb))),
+                         memory_space=vm),
+            pl.BlockSpec((tile, 4), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile, 4),
+                         lambda i, d: (jax.lax.rem(i + d, jnp.int32(nb)), 0),
+                         memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 4), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((4, c), lambda i, d: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 4), jnp.float32),
+            jax.ShapeDtypeStruct((4, c), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(nb * nd * tile * tile, c * 64),
+    )
+    cross_call = pl.pallas_call(
+        functools.partial(_cross_kernel, softening=float(softening),
+                          tile=tile, fast=fast),
+        grid=(nb, nb),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, tile), lambda i, j: (0, j), memory_space=vm),
+            pl.BlockSpec((tile, 4), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile, 4), lambda i, j: (j, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 4), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((4, c), lambda i, j: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 4), jnp.float32),
+            jax.ShapeDtypeStruct((4, c), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(c * c, c * 64),
+    )
+    return tri_call, cross_call
+
+
 def _epilogue(pos, s_r, s_cT):
     """Force from raw sums.
 
@@ -196,57 +252,7 @@ def body_force_sym_mxu(
         v = jnp.concatenate([pos * m[:, None], m[:, None]], axis=1)
     pjt = pos.T  # (3, Np)
 
-    nb = c // tile
-    fast = float(softening) >= 1e-12
-    vm = pltpu.VMEM
-
-    nd = nb // 2 + 1
-    tri_call = pl.pallas_call(
-        functools.partial(_tri_kernel, softening=float(softening), tile=tile,
-                          fast=fast, nb=nb),
-        grid=(nb, nd),
-        in_specs=[
-            pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
-            pl.BlockSpec((3, tile),
-                         lambda i, d: (0, jax.lax.rem(i + d, jnp.int32(nb))),
-                         memory_space=vm),
-            pl.BlockSpec((tile, 4), lambda i, d: (i, 0), memory_space=vm),
-            pl.BlockSpec((tile, 4),
-                         lambda i, d: (jax.lax.rem(i + d, jnp.int32(nb)), 0),
-                         memory_space=vm),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile, 4), lambda i, d: (i, 0), memory_space=vm),
-            pl.BlockSpec((4, c), lambda i, d: (0, 0), memory_space=vm),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((c, 4), jnp.float32),
-            jax.ShapeDtypeStruct((4, c), jnp.float32),
-        ],
-        interpret=interpret,
-        **_common_params(nb * nd * tile * tile, c * 64),
-    )
-    cross_call = pl.pallas_call(
-        functools.partial(_cross_kernel, softening=float(softening),
-                          tile=tile, fast=fast),
-        grid=(nb, nb),
-        in_specs=[
-            pl.BlockSpec((tile, 3), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((3, tile), lambda i, j: (0, j), memory_space=vm),
-            pl.BlockSpec((tile, 4), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((tile, 4), lambda i, j: (j, 0), memory_space=vm),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile, 4), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((4, c), lambda i, j: (0, 0), memory_space=vm),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((c, 4), jnp.float32),
-            jax.ShapeDtypeStruct((4, c), jnp.float32),
-        ],
-        interpret=interpret,
-        **_common_params(c * c, c * 64),
-    )
+    tri_call, cross_call = _build_calls(softening, tile, c, interpret)
 
     if nc == 1:
         rows, colsT = tri_call(pos, pjt, v, v)
@@ -299,4 +305,79 @@ def body_force_sym_mxu(
         cross_body, (rows_total, cols_total), pair_offs
     )
 
+    return _epilogue(pos, rows_total, cols_total.T)[:n]
+
+
+def body_force_sym_mxu_segmented(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    chunk: int = 131072,
+    interpret: bool = False,
+    pairs_per_dispatch: float = 4e12,
+    progress=None,
+):
+    """body_force_sym_mxu driven as multiple host dispatches for N where one
+    force pass exceeds the execution watchdog (shared driver + crash-bound
+    rationale: ops/hostseg.py). Bit-identical to the one-program path."""
+    from mini_nbody_tpu.ops import hostseg
+
+    n = pos.shape[0]
+    pos = pos.astype(jnp.float32)
+    tile = min(tile, round_up(n, 8))
+    if not interpret and tile < round_up(n, 8):
+        tile = round_up(tile, 128)
+    nc = max(1, -(-n // chunk))
+    c = round_up(-(-n // nc), tile)
+    np_ = nc * c
+    if np_ != n:
+        pos = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=FAR)
+    if mass is None:
+        v = jnp.concatenate([pos, jnp.ones((np_, 1), jnp.float32)], axis=1)
+    else:
+        m = mass.astype(jnp.float32)
+        if np_ != n:
+            m = jnp.pad(m, (0, np_ - n))
+        v = jnp.concatenate([pos * m[:, None], m[:, None]], axis=1)
+    pjt = pos.T
+    tri_call, cross_call = _build_calls(softening, tile, c, interpret)
+
+    def add_rows(buf, off, r):
+        zero = jnp.zeros((), off.dtype)
+        cur = jax.lax.dynamic_slice(buf, (off, zero), (c, 4))
+        return jax.lax.dynamic_update_slice(buf, cur + r, (off, zero))
+
+    def add_cols(buf, off, ct):
+        zero = jnp.zeros((), off.dtype)
+        cur = jax.lax.dynamic_slice(buf, (zero, off), (4, c))
+        return jax.lax.dynamic_update_slice(buf, cur + ct, (zero, off))
+
+    def slice_chunk(pos_, pjt_, v_, off):
+        zero = jnp.zeros((), off.dtype)
+        pa = jax.lax.dynamic_slice(pos_, (off, zero), (c, 3))
+        pat = jax.lax.dynamic_slice(pjt_, (zero, off), (3, c))
+        va = jax.lax.dynamic_slice(v_, (off, zero), (c, 4))
+        return pa, pat, va
+
+    def tri_body(carry, off):
+        rows, cols, pos_, pjt_, v_ = carry
+        pa, pat, va = slice_chunk(pos_, pjt_, v_, off)
+        r, ct = tri_call(pa, pat, va, va)
+        return (add_rows(rows, off, r), add_cols(cols, off, ct),
+                pos_, pjt_, v_), None
+
+    def cross_body(carry, ab):
+        rows, cols, pos_, pjt_, v_ = carry
+        pa, _, va = slice_chunk(pos_, pjt_, v_, ab[0])
+        _, pbt, vb = slice_chunk(pos_, pjt_, v_, ab[1])
+        r, ct = cross_call(pa, pbt, va, vb)
+        return (add_rows(rows, ab[0], r), add_cols(cols, ab[1], ct),
+                pos_, pjt_, v_), None
+
+    accs = (jnp.zeros((np_, 4), jnp.float32),
+            jnp.zeros((4, np_), jnp.float32))
+    rows_total, cols_total = hostseg.drive(
+        tri_body, cross_body, accs, (pos, pjt, v), nc, c,
+        pairs_per_dispatch=pairs_per_dispatch, progress=progress)
     return _epilogue(pos, rows_total, cols_total.T)[:n]

@@ -299,10 +299,6 @@ def _make_scan_bodies(tri_call, cross_call, c, k):
     return tri_body, cross_body
 
 
-def _cross_pair_offsets(nc, c):
-    return [(a * c, b * c) for a in range(nc) for b in range(a + 1, nc)]
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("softening", "tile", "chunk", "interpret"),
@@ -344,7 +340,9 @@ def body_force_symmetric(
 
     offs = jnp.arange(nc, dtype=jnp.int32) * c
     carry, _ = jax.lax.scan(tri_body, carry, offs)
-    pair_offs = jnp.asarray(_cross_pair_offsets(nc, c), dtype=jnp.int32)
+    from mini_nbody_tpu.ops.hostseg import cross_pair_offsets
+
+    pair_offs = jnp.asarray(cross_pair_offsets(nc, c), dtype=jnp.int32)
     carry, _ = jax.lax.scan(cross_body, carry, pair_offs)
 
     rows_total, cols_total = carry[0], carry[1]
@@ -367,17 +365,14 @@ def body_force_symmetric_segmented(
     ~2.8e14 pairs ~ 13 min of device time in one XLA program).
 
     Chunk-pair work units are grouped so each dispatch stays under
-    `pairs_per_dispatch`. The default (4e12 ~ 12-25 s of device time) is
-    deliberately well below the nominal ~5 min watchdog: at N=16M a 698-unit
-    (~1.2e13-pair, ~35 s) cross dispatch reproducibly crashed the tunnel's
-    TPU worker while 232-unit dispatches run clean.
-    Each group is one jitted lax.scan reusing the same two Mosaic kernels,
-    with the (rows, cols) accumulators and packed positions staying on
-    device between dispatches. At most 4 programs compile: full/ragged
-    groups x tri/cross. `progress(done_units, total_units)` is called after
-    every dispatch when given.
+    `pairs_per_dispatch` (see ops/hostseg.py for the shared driver and the
+    measured worker-crash bound that sets the 4e12 default); the (rows,
+    cols) accumulators are donated between dispatches while the packed
+    positions — which may alias the caller's arrays — are not. At most 4
+    programs compile: full/ragged groups x tri/cross.
+    `progress(done_units, total_units)` is called after every dispatch.
     """
-    import numpy as np
+    from mini_nbody_tpu.ops import hostseg
 
     n = pos.shape[0]
     masses = mass is not None
@@ -388,64 +383,11 @@ def body_force_symmetric_segmented(
     tri_call, cross_call = _build_calls(softening, tile, c, k, interpret)
     tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c, k)
 
-    # One tri unit is ~c^2/2 pairs, one cross unit c^2.
-    g_cross = max(1, int(pairs_per_dispatch // (c * c)))
-    g_tri = 2 * g_cross
-
-    # Donate ONLY the accumulators: pos/pjt may alias the caller's arrays
-    # (_pack is a no-op for chunk-aligned fp32 unit-mass input) — donating
-    # the whole carry invalidated state.pos for whatever ran after the
-    # force (TPU INVALID_ARGUMENT; invisible on CPU, which ignores
-    # donation).
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run_tri(rows, cols, pos_, pjt_, offs):
-        (rows, cols, _, _), _ = jax.lax.scan(
-            tri_body, (rows, cols, pos_, pjt_), offs)
-        return rows, cols
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run_cross(rows, cols, pos_, pjt_, pair_offs):
-        (rows, cols, _, _), _ = jax.lax.scan(
-            cross_body, (rows, cols, pos_, pjt_), pair_offs)
-        return rows, cols
-
-    rows_cols = (jnp.zeros((np_, 3), jnp.float32),
-                 jnp.zeros((3, np_), jnp.float32))
-
-    tri_offs = np.arange(nc, dtype=np.int32) * c
-    cross_offs = np.asarray(_cross_pair_offsets(nc, c), dtype=np.int32)
-    cross_offs = cross_offs.reshape(-1, 2)
-    total = len(tri_offs) + len(cross_offs)
-    done = 0
-
-    def _groups(arr, g):
-        full = len(arr) - len(arr) % g
-        for i in range(0, full, g):
-            yield arr[i:i + g]
-        if full < len(arr):
-            yield arr[full:]
-
-    def _sync(buf):
-        # block_until_ready can return before remote execution completes
-        # through the axon tunnel (CLAUDE.md); only a device->host transfer
-        # actually bounds the dispatch — without it the host queues the
-        # WHOLE run behind one final read and the watchdog kills it.
-        np.asarray(jax.device_get(buf[0, 0]))
-
-    for grp in _groups(tri_offs, g_tri):
-        rows_cols = run_tri(*rows_cols, pos, pjt, jnp.asarray(grp))
-        _sync(rows_cols[0])
-        done += len(grp)
-        if progress is not None:
-            progress(done, total)
-    for grp in _groups(cross_offs, g_cross):
-        rows_cols = run_cross(*rows_cols, pos, pjt, jnp.asarray(grp))
-        _sync(rows_cols[0])
-        done += len(grp)
-        if progress is not None:
-            progress(done, total)
-
-    rows_total, cols_total = rows_cols
+    accs = (jnp.zeros((np_, 3), jnp.float32),
+            jnp.zeros((3, np_), jnp.float32))
+    rows_total, cols_total = hostseg.drive(
+        tri_body, cross_body, accs, (pos, pjt), nc, c,
+        pairs_per_dispatch=pairs_per_dispatch, progress=progress)
     return (rows_total + cols_total.T)[:n]
 
 
