@@ -39,9 +39,18 @@ def _add_common(p):
     p.add_argument("--init", choices=["uniform", "plummer", "cold_sphere", "two_cluster"],
                    default="uniform")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--devices", type=int, default=0,
-                   help="shard bodies over this many devices (0 = single)")
-    p.add_argument("--comm", choices=["all_gather", "ring", "ring_sym"], default="ring")
+    p.add_argument("--devices", default="0",
+                   help="shard bodies over this many devices (0 = single); "
+                        "'RxC' (e.g. 2x4) selects a 2-D mesh for --comm grid")
+    p.add_argument("--comm", choices=["all_gather", "ring", "ring_sym", "grid"],
+                   default="ring")
+
+
+def _parse_mesh(devices):
+    """--devices '8' -> (8,); '2x4' -> (2, 4); '0' -> None."""
+    if "x" in str(devices):
+        return tuple(int(v) for v in str(devices).split("x"))
+    return (int(devices),) if int(devices) else None
 
 
 def _build(args):
@@ -52,7 +61,7 @@ def _build(args):
         integrator=args.integrator, backend=args.backend,
         pair_dtype=args.pair_dtype, tile_i=args.tile_i, tile_j=args.tile_j,
         comm=args.comm,
-        mesh_shape=(args.devices,) if args.devices else None,
+        mesh_shape=_parse_mesh(args.devices),
         # uniform init has unit masses (reference semantics -> fast path);
         # plummer/cold_sphere carry per-body masses.
         use_masses=args.init != "uniform",
@@ -83,7 +92,7 @@ def cmd_run(args):
     if cfg.mesh_shape:
         from mini_nbody_tpu.parallel import make_mesh, simulate_sharded
 
-        mesh = make_mesh(cfg.mesh_shape[0])
+        mesh = make_mesh(cfg.mesh_shape)
         out = simulate_sharded(cfg, mesh, state)
     elif args.save and args.save_every:
         # Periodic checkpointing: the analog of the reference's implicit
@@ -130,11 +139,12 @@ def cmd_bench(args):
         from mini_nbody_tpu.parallel.sharded import (
             init_sharded_carry, make_sharded_step_fn)
 
-        mesh = make_mesh(cfg.mesh_shape[0])
+        mesh = make_mesh(cfg.mesh_shape)
         state = shard_state(state, mesh)
         step = make_sharded_step_fn(cfg, mesh)
         carry = init_sharded_carry(cfg, mesh, state)
-        ndev = cfg.mesh_shape[0]
+        import math
+        ndev = math.prod(cfg.mesh_shape)
     else:
         step = make_step_fn(cfg)
         carry = (state, jnp.zeros_like(state.pos))
@@ -161,7 +171,7 @@ def cmd_shmoo(args):
     if cfg.mesh_shape:
         from mini_nbody_tpu.parallel import make_mesh
 
-        mesh = make_mesh(cfg.mesh_shape[0])
+        mesh = make_mesh(cfg.mesh_shape)
     rows = shmoo.sweep(cfg, ns, reps=args.reps, mesh=mesh)
     out = shmoo.to_csv(rows) if args.format == "csv" else shmoo.to_jsonl(rows)
     if args.out:

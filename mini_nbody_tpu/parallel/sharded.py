@@ -31,21 +31,28 @@ from jax import shard_map
 from mini_nbody_tpu.models.state import BodyState
 from mini_nbody_tpu.ops.force import body_force
 from mini_nbody_tpu.ops.integrators import INTEGRATORS, initial_acc
-from mini_nbody_tpu.parallel.mesh import BODY_AXIS
+from mini_nbody_tpu.parallel.mesh import BODY_AXIS, COL_AXIS
 from mini_nbody_tpu.utils.config import SimConfig, round_up
 
 
-def _state_specs():
-    return BodyState(pos=P(BODY_AXIS, None), vel=P(BODY_AXIS, None), mass=P(BODY_AXIS))
+def _body_axes(mesh: Mesh):
+    """Mesh axes the body dimension is sharded over: ("i",) on a 1-D mesh,
+    ("i", "j") on the 2-D pair-matrix grid."""
+    return tuple(mesh.axis_names)
+
+
+def _state_specs(mesh: Mesh):
+    axes = _body_axes(mesh)
+    return BodyState(pos=P(axes, None), vel=P(axes, None), mass=P(axes))
 
 
 def shard_state(state: BodyState, mesh: Mesh, pad_far: bool = False) -> BodyState:
-    """Pad N to a multiple of the mesh and lay the state out shard-by-"i".
+    """Pad N to a multiple of the mesh and lay the state out shard-by-body.
     pad_far=True places pad bodies at FAR (required for unit-mass configs,
     whose kernels ignore the zero masses)."""
-    p = mesh.shape[BODY_AXIS]
+    p = mesh.devices.size
     state = state.pad_to(round_up(state.n, p), far=pad_far)
-    specs = _state_specs()
+    specs = _state_specs(mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
     )
@@ -72,6 +79,27 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
             pos_all = jax.lax.all_gather(pos_local, BODY_AXIS, tiled=True)
             mass_all = jax.lax.all_gather(mass_local, BODY_AXIS, tiled=True)
             return kern(pos_local, pos_all, mass_all)
+
+        return force
+
+    if cfg.comm == "grid":
+        # 2-D pair-matrix decomposition on an ("i" x "j") mesh: device
+        # (a, b) computes forces on ROW group a (its "i"-row of shards,
+        # gathered along "j") from COLUMN group b (its "j"-column of shards,
+        # gathered along "i"); the row partials then reduce-scatter back
+        # along "j" so every device ends with exactly its own shard's
+        # forces. Per-step comm is O(N/Pi + N/Pj) = O(N/sqrt(P)) per device
+        # vs the 1-D schemes' O(N) — the standard scalable decomposition
+        # (every ordered pair computed exactly once: the row group fixes a,
+        # the column group fixes b).
+
+        def force(pos_local, _pos_j, mass_local):
+            rows_pos = jax.lax.all_gather(pos_local, COL_AXIS, tiled=True)
+            cols_pos = jax.lax.all_gather(pos_local, BODY_AXIS, tiled=True)
+            cols_mass = jax.lax.all_gather(mass_local, BODY_AXIS, tiled=True)
+            part = kern(rows_pos, cols_pos, cols_mass)  # (N/Pi, 3)
+            return jax.lax.psum_scatter(
+                part, COL_AXIS, scatter_dimension=0, tiled=True)
 
         return force
 
@@ -205,6 +233,11 @@ def _make_local_diff_force(cfg: SimConfig, n_shards: int):
             interpret=interpret,
         )
 
+    # On the 2-D grid the backward gathers the full system along both mesh
+    # axes (O(N) backward comm; the forward keeps its O(N/sqrt(P)) cost).
+    gather_axes = ((BODY_AXIS, COL_AXIS) if cfg.comm == "grid"
+                   else BODY_AXIS)
+
     def _bwd(res, g_local):
         pos_local, mass_local = res
         if ring and n_shards > 1:
@@ -217,9 +250,9 @@ def _make_local_diff_force(cfg: SimConfig, n_shards: int):
                         jax.lax.ppermute(x, BODY_AXIS, perm) for x in cur)
             pos_bar = acc
         else:
-            pos_all = jax.lax.all_gather(pos_local, BODY_AXIS, tiled=True)
-            g_all = jax.lax.all_gather(g_local, BODY_AXIS, tiled=True)
-            mass_all = jax.lax.all_gather(mass_local, BODY_AXIS, tiled=True)
+            pos_all = jax.lax.all_gather(pos_local, gather_axes, tiled=True)
+            g_all = jax.lax.all_gather(g_local, gather_axes, tiled=True)
+            mass_all = jax.lax.all_gather(mass_local, gather_axes, tiled=True)
             pos_bar = _rect(pos_local, g_local, mass_local,
                             pos_all, g_all, mass_all)
         return pos_bar, jnp.zeros_like(mass_local)
@@ -248,7 +281,7 @@ def make_sharded_step_fn(cfg: SimConfig, mesh: Mesh,
         state, acc = carry
         return integ(state, acc, force, cfg.dt)
 
-    specs = (_state_specs(), P(BODY_AXIS, None))
+    specs = (_state_specs(mesh), P(_body_axes(mesh), None))
     # check_vma=False: Pallas out_shapes don't carry varying-mesh-axis info.
     return shard_map(
         local_step, mesh=mesh, in_specs=(specs,), out_specs=specs, check_vma=False
@@ -265,8 +298,8 @@ def init_sharded_carry(cfg: SimConfig, mesh: Mesh, state: BodyState):
     acc = shard_map(
         local_init,
         mesh=mesh,
-        in_specs=(_state_specs(),),
-        out_specs=P(BODY_AXIS, None),
+        in_specs=(_state_specs(mesh),),
+        out_specs=P(_body_axes(mesh), None),
         check_vma=False,
     )(state)
     return state, acc
@@ -283,7 +316,7 @@ def simulate_sharded(cfg: SimConfig, mesh: Mesh, state: BodyState, steps=None):
 
     n = state.n
     steps = cfg.steps if steps is None else steps
-    n_shards = mesh.shape[BODY_AXIS]
+    n_shards = mesh.devices.size
     state = shard_state(state, mesh, pad_far=not cfg.use_masses)
     step = make_sharded_step_fn(cfg, mesh)
 

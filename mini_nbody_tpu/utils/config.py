@@ -65,11 +65,15 @@ class SimConfig:
         VPU width).
       tile_j: j-target block streamed per grid step (the analog of the
         1-per-cycle j-stream, ``src/top_level.vhd:233-254``).
-      mesh_shape: devices along the body-sharding axis; None = single chip.
+      mesh_shape: devices along the body-sharding axis (1-tuple), or the
+        (rows, cols) of the 2-D pair-matrix grid for comm='grid'; None =
+        single chip.
       comm: cross-chip position exchange: "all_gather", "ring" (ppermute,
-        one hop per shard, each ordered pair computed), or "ring_sym"
+        one hop per shard, each ordered pair computed), "ring_sym"
         (symmetric half-ring: Newton's third law across shards — half the
-        compute, ~same ICI volume).
+        compute, ~same ICI volume), or "grid" (2-D pair-matrix
+        decomposition on an ("i","j") mesh: per-device comm O(N/sqrt(P))
+        instead of O(N); mesh_shape must be 2-D).
       interpret: force Pallas interpret mode (CPU testing); None = auto
         (interpret unless running on real TPU).
       use_masses: apply per-body masses from BodyState.mass in the force law.
@@ -118,10 +122,18 @@ class SimConfig:
                 "exchanges compute rectangular shard-vs-shard blocks); use "
                 "'pallas' or 'mxu'"
             )
-        if self.comm not in ("all_gather", "ring", "ring_sym"):
+        if self.comm not in ("all_gather", "ring", "ring_sym", "grid"):
             raise ValueError(
-                f"comm must be 'all_gather', 'ring' or 'ring_sym', got {self.comm!r}"
+                "comm must be 'all_gather', 'ring', 'ring_sym' or 'grid', "
+                f"got {self.comm!r}"
             )
+        if self.mesh_shape is not None:
+            want = 2 if self.comm == "grid" else 1
+            if len(self.mesh_shape) != want:
+                raise ValueError(
+                    f"comm {self.comm!r} needs a {want}-D mesh_shape, got "
+                    f"{self.mesh_shape}"
+                )
         if self.fused_integrate and (
                 self.integrator != "euler" or self.backend != "pallas"
                 or self.mesh_shape is not None):

@@ -183,7 +183,7 @@ def test_differentiable_sharded_step(mesh, comm, use_masses):
     ref = np.asarray(jax.grad(loss_single)(s.pos))
 
     stepP = make_sharded_step_fn(cfg, mesh, differentiable=True)
-    specs = _state_specs()
+    specs = _state_specs(mesh)
 
     def loss_sharded(pos0):
         state = BodyState(pos=pos0, vel=s.vel, mass=s.mass)
@@ -192,6 +192,87 @@ def test_differentiable_sharded_step(mesh, comm, use_masses):
                 x, jax.sharding.NamedSharding(mesh, sp)), state, specs)
         carry = (state, jnp.zeros_like(pos0))
         for _ in range(5):
+            carry = stepP(carry)
+        return jnp.sum(carry[0].pos ** 2)
+
+    got = np.asarray(jax.jit(jax.grad(loss_sharded))(s.pos))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5 * scale)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_grid_2d_matches_single_chip(shape):
+    # 2-D pair-matrix decomposition: device (a,b) computes rows a x cols b;
+    # per-device comm O(N/sqrt(P)) (SURVEY §2 item 6 "1-D or 2-D mesh").
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    m = make_mesh(shape)
+    n = 512
+    state = init.plummer(jax.random.key(51), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=5, backend="jnp", comm="grid",
+                    softening=1e-2, use_masses=True, mesh_shape=shape)
+    ref = simulate(cfg.replace(mesh_shape=None, comm="all_gather"), state)
+    out = simulate_sharded(cfg, m, state)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
+
+
+def test_grid_2d_pallas_and_padding():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    m = make_mesh((2, 4))
+    n = 300  # not divisible by 8: padding path
+    state = init.uniform_random(jax.random.key(52), n)
+    cfg = SimConfig(n=n, steps=3, backend="pallas", comm="grid",
+                    mesh_shape=(2, 4), tile_i=32, tile_j=128)
+    ref = simulate(cfg.replace(mesh_shape=None, comm="all_gather",
+                               backend="jnp"), state)
+    out = simulate_sharded(cfg, m, state)
+    assert out.n == n
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
+
+
+def test_grid_2d_differentiable():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+    from mini_nbody_tpu.models.state import BodyState
+    from mini_nbody_tpu.parallel.sharded import _state_specs
+    from mini_nbody_tpu.sim import make_step_fn
+
+    m = make_mesh((2, 4))
+    n = 256
+    s = init.plummer(jax.random.key(53), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=3, backend="jnp", comm="grid",
+                    softening=1e-2, use_masses=True, mesh_shape=(2, 4))
+
+    step1 = make_step_fn(cfg.replace(mesh_shape=None, comm="all_gather"),
+                         differentiable=True)
+
+    def loss_single(pos0):
+        carry = (BodyState(pos=pos0, vel=s.vel, mass=s.mass),
+                 jnp.zeros_like(pos0))
+        for _ in range(3):
+            carry = step1(carry)
+        return jnp.sum(carry[0].pos ** 2)
+
+    ref = np.asarray(jax.grad(loss_single)(s.pos))
+
+    stepP = make_sharded_step_fn(cfg, m, differentiable=True)
+    specs = _state_specs(m)
+
+    def loss_sharded(pos0):
+        state = BodyState(pos=pos0, vel=s.vel, mass=s.mass)
+        state = jax.tree_util.tree_map(
+            lambda x, sp: jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(m, sp)), state, specs)
+        carry = (state, jnp.zeros_like(pos0))
+        for _ in range(3):
             carry = stepP(carry)
         return jnp.sum(carry[0].pos ** 2)
 
