@@ -54,3 +54,18 @@ def test_run_periodic_checkpointing(tmp_path, capsys):
 
     _, step, _ = ckpt.load(ck)
     assert step == 6
+
+
+@pytest.mark.parametrize("backend", ["sym", "sym_mxu"])
+def test_check_gate_symmetric_backends(backend, capsys):
+    # Regression: check used to pass two DISTINCT pos slices to the force,
+    # which the sym backends' identity guard rejects; also exercises the
+    # precision-class-aware gate (bf16-accumulate for sym_mxu).
+    with pytest.raises(SystemExit) as e:
+        cli.main(["check", "--n", "256", "--steps", "2",
+                  "--backend", backend, "--softening", "1e-2",
+                  "--init", "plummer"])
+    assert e.value.code == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] is True
+    assert rep["backend"] == backend
