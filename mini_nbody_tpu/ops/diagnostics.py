@@ -64,9 +64,18 @@ def kinetic_energy(vel, mass):
 
 
 def total_energy(state: BodyState, softening: float = SOFTENING):
-    return kinetic_energy(state.vel, state.mass) + potential_energy(
-        state.pos, state.mass, softening
-    )
+    """Kinetic + potential. On real TPU at large N the potential runs
+    through the Pallas kernel (ops/pe_kernel.py, ~300 G pairs/s) instead of
+    the HBM-bound chunked jnp (~1 G pairs/s — hours at N=1M)."""
+    import jax as _jax
+
+    ke = kinetic_energy(state.vel, state.mass)
+    if _jax.default_backend() == "tpu" and state.n >= 65536:
+        from mini_nbody_tpu.ops.pe_kernel import potential_energy_pallas
+
+        return ke + potential_energy_pallas(
+            state.pos, state.mass, softening=softening)
+    return ke + potential_energy(state.pos, state.mass, softening)
 
 
 @jax.jit

@@ -1,0 +1,127 @@
+"""Pallas TPU kernel for the softened potential energy.
+
+The chunked-jnp ``diagnostics.potential_energy`` materializes (C, N)
+broadcast intermediates in HBM (~1 G pairs/s) — fine for test sizes,
+unusable next to the 300-400 GInter/s force kernels at headline N
+(N=1M is ~1.1e12 ordered pairs). This kernel reuses the direct force
+structure (i-tile resident, j-blocks streamed, per-row accumulator
+revisited across the j grid): row_i = sum_j m_j * rsqrt(r2), self pairs
+masked on the pre-softening |d|^2 == 0, then U = -0.5 sum_i m_i row_i as a
+cheap XLA epilogue. ~12 VPU op-equivalents per ordered pair -> ~300 G
+pairs/s on v5e.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mini_nbody_tpu.utils.config import SOFTENING, round_up
+
+_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
+    pltpu, "TPUCompilerParams"
+)
+
+
+def _pe_kernel(pi_ref, pjt_ref, out_ref, *, softening, acc_steps, unit_mass):
+    j = pl.program_id(1)
+    pi = pi_ref[:]
+    xi, yi, zi = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
+    dx = pjt_ref[0:1, :] - xi
+    dy = pjt_ref[1:2, :] - yi
+    dz = pjt_ref[2:3, :] - zi
+    d2 = dx * dx + dy * dy + dz * dz
+    inv = jax.lax.rsqrt(d2 + jnp.asarray(softening, dx.dtype))
+    # self/coincident pairs: the potential's self term is excluded by
+    # definition (unlike the force, it does NOT vanish on its own).
+    inv = jnp.where(d2 == 0.0, jnp.asarray(0.0, inv.dtype), inv)
+    if not unit_mass:
+        inv = inv * pjt_ref[3:4, :]
+    row = jnp.sum(inv, axis=1, keepdims=True)
+
+    if acc_steps == 1:
+        out_ref[:] = row
+    else:
+        @pl.when(j == 0)
+        def _init():
+            out_ref[:] = row
+
+        @pl.when(j > 0)
+        def _acc():
+            out_ref[:] = out_ref[:] + row
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile_i", "tile_j", "interpret"),
+)
+def potential_energy_pallas(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile_i: int = 512,
+    tile_j: int = 2048,
+    interpret: bool = False,
+):
+    """U = -sum_{i<j} m_i m_j / sqrt(r_ij^2 + eps) via the direct Pallas
+    structure. mass=None = unit masses. fp64 final reduction of the per-row
+    fp32 sums (the O(N) epilogue is precision-critical at large N)."""
+    n = pos.shape[0]
+    unit_mass = mass is None
+    pos = pos.astype(jnp.float32)
+
+    tile_i = min(tile_i, round_up(n, 8))
+    tile_j = min(tile_j, round_up(n, 128))
+    np_ = round_up(round_up(n, tile_i), tile_j)
+    if np_ != n:
+        # Zero-mass padding only: unlike the force kernels' w = inv^3, the
+        # potential's inv^1 does NOT underflow at FAR distances, so ragged
+        # unit-mass inputs synthesize an explicit ones-mass vector whose
+        # zero-padded tail makes padded sources exactly inert (padded rows
+        # are sliced off regardless).
+        if unit_mass:
+            mass = jnp.ones((n,), jnp.float32)
+            unit_mass = False
+        pos = jnp.pad(pos, ((0, np_ - n), (0, 0)))
+        mass = jnp.pad(mass.astype(jnp.float32), (0, np_ - n))
+
+    pjt_rows = [pos.T]
+    if not unit_mass:
+        pjt_rows.append(mass.astype(jnp.float32)[None, :])
+    pjt = (jnp.concatenate(pjt_rows, axis=0) if len(pjt_rows) > 1
+           else pjt_rows[0])
+
+    grid = (np_ // tile_i, np_ // tile_j)
+    pairs = np_ * np_
+    rows = pl.pallas_call(
+        functools.partial(_pe_kernel, softening=float(softening),
+                          acc_steps=grid[1], unit_mass=unit_mass),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pjt.shape[0], tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+        compiler_params=_CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * pairs,
+            bytes_accessed=(np_ * 7) * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(pos, pjt)
+
+    rows = rows[:n, 0]
+    m_i = jnp.ones((n,), jnp.float32) if unit_mass else mass[:n]
+    # fp32 per-row sums, fp64-ish pairwise-tree final sum via jnp.sum
+    return -0.5 * jnp.sum(m_i * rows)

@@ -177,3 +177,43 @@ class TestMultihostInitialize:
         assert multihost.initialize(num_processes=2, process_id=0) is True
         assert calls == [dict(coordinator_address=None,
                               num_processes=2, process_id=0)]
+
+
+class TestPotentialEnergyKernel:
+    def _check(self, n, masses):
+        import jax.numpy as jnp
+        from mini_nbody_tpu.models import init
+        from mini_nbody_tpu.ops.diagnostics import potential_energy
+        from mini_nbody_tpu.ops.pe_kernel import potential_energy_pallas
+
+        s = init.plummer(jax.random.key(n), n)
+        m = s.mass if masses else jnp.ones((n,), jnp.float32)
+        ref = float(potential_energy(s.pos, m, 1e-2))
+        interp = jax.default_backend() != "tpu"
+        got = float(potential_energy_pallas(
+            s.pos, s.mass if masses else None, softening=1e-2,
+            tile_i=64, tile_j=128, interpret=interp))
+        assert abs(got - ref) / abs(ref) < 1e-5
+
+    def test_unit_mass_aligned(self):
+        self._check(256, masses=False)
+
+    def test_masses_ragged(self):
+        self._check(300, masses=True)
+
+    def test_unit_mass_ragged(self):
+        # ragged unit-mass: FAR padding is NOT inert for inv^1 — the kernel
+        # must switch to zero-mass padding.
+        self._check(300, masses=False)
+
+    def test_coincident_masked(self):
+        import jax.numpy as jnp
+        from mini_nbody_tpu.ops.pe_kernel import potential_energy_pallas
+
+        pos = jnp.zeros((32, 3), jnp.float32)
+        interp = jax.default_backend() != "tpu"
+        u = float(potential_energy_pallas(pos, softening=1e-2,
+                                          tile_i=32, tile_j=128,
+                                          interpret=interp))
+        assert u == 0.0  # all pairs coincident -> masked (self-consistent
+        # with the force kernels' coincidence semantics)
