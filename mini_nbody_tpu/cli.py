@@ -140,7 +140,9 @@ def cmd_bench(args):
             init_sharded_carry, make_sharded_step_fn)
 
         mesh = make_mesh(cfg.mesh_shape)
-        state = shard_state(state, mesh)
+        # pad_far like simulate_sharded: unit-mass kernels ignore zero pad
+        # masses, so origin pads would exert real forces
+        state = shard_state(state, mesh, pad_far=not cfg.use_masses)
         step = make_sharded_step_fn(cfg, mesh)
         carry = init_sharded_carry(cfg, mesh, state)
         import math

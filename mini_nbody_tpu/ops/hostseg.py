@@ -27,17 +27,12 @@ def cross_pair_offsets(nc: int, c: int):
     return [(a * c, b * c) for a in range(nc) for b in range(a + 1, nc)]
 
 
-def drive(tri_body, cross_body, accs, consts, nc: int, c: int,
-          pairs_per_dispatch: float = 4e12, progress=None):
-    """Run all chunk units through host-grouped dispatches.
-
-    tri_body/cross_body: lax.scan bodies over carry (acc_0, acc_1, *consts)
-    and a unit offset (int32 scalar / pair). accs: initial accumulator
-    arrays (donated between dispatches). consts: arrays threaded through
-    unchanged (positions etc. — NOT donated: they may alias caller arrays).
-    Returns the final accumulators."""
-    g_cross = max(1, int(pairs_per_dispatch // (c * c)))
-    g_tri = 2 * g_cross  # tri units are ~c^2/2 pairs
+def make_runners(tri_body, cross_body):
+    """Jitted group runners for drive(). Callers MUST cache the result per
+    static configuration (functools.lru_cache keyed on (softening, tile, c,
+    ...)): jax.jit caches by function identity, so rebuilding these every
+    force call would recompile up to 4 programs per integration step —
+    ruinous through the remote compile helper."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run_tri(a0, a1, *rest):
@@ -50,6 +45,21 @@ def drive(tri_body, cross_body, accs, consts, nc: int, c: int,
         *consts_, offs = rest
         (a0, a1, *_), _ = jax.lax.scan(cross_body, (a0, a1, *consts_), offs)
         return a0, a1
+
+    return run_tri, run_cross
+
+
+def drive(run_tri, run_cross, accs, consts, nc: int, c: int,
+          pairs_per_dispatch: float = 4e12, progress=None):
+    """Run all chunk units through host-grouped dispatches.
+
+    run_tri/run_cross: cached runners from make_runners (scan bodies over
+    carry (acc_0, acc_1, *consts) and a unit offset). accs: initial
+    accumulator arrays (donated between dispatches). consts: arrays threaded
+    through unchanged (positions etc. — NOT donated: they may alias caller
+    arrays). Returns the final accumulators."""
+    g_cross = max(1, int(pairs_per_dispatch // (c * c)))
+    g_tri = 2 * g_cross  # tri units are ~c^2/2 pairs
 
     def _sync(buf):
         np.asarray(jax.device_get(buf.ravel()[0]))

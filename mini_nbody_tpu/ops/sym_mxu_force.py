@@ -214,33 +214,19 @@ def _epilogue(pos, s_r, s_cT):
     return s[:, 0:3] - pos * s[:, 3:4]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("softening", "tile", "chunk", "interpret"),
-)
-def body_force_sym_mxu(
-    pos,
-    mass=None,
-    softening: float = SOFTENING,
-    tile: int = 1024,
-    chunk: int = 131072,
-    interpret: bool = False,
-):
-    """All-pairs forces via the symmetric MXU hybrid (module docstring).
-
-    Mass mode costs the same as unit-mass: masses fold into the [m*p | m]
-    matmul operands computed once outside the kernel. bf16-accumulate error
-    class (~3e-3 median); use backend='sym' for fp32-exact.
-    """
-    n = pos.shape[0]
-    pos = pos.astype(jnp.float32)
-
+def _resolve_tiling(n, tile, chunk, interpret):
     tile = min(tile, round_up(n, 8))
     if not interpret and tile < round_up(n, 8):
         tile = round_up(tile, 128)
     nc = max(1, -(-n // chunk))
     c = round_up(-(-n // nc), tile)
-    np_ = nc * c
+    return tile, c, nc, nc * c
+
+
+def _pack(pos, mass, n, np_):
+    """Pad (FAR positions / zero masses) and build the matmul operand
+    v = [m*p | m] (ones-mass when mass is None)."""
+    pos = pos.astype(jnp.float32)
     if np_ != n:
         pos = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=FAR)
     if mass is None:
@@ -250,98 +236,13 @@ def body_force_sym_mxu(
         if np_ != n:
             m = jnp.pad(m, (0, np_ - n))  # zero-mass tails: inert in v too
         v = jnp.concatenate([pos * m[:, None], m[:, None]], axis=1)
-    pjt = pos.T  # (3, Np)
-
-    tri_call, cross_call = _build_calls(softening, tile, c, interpret)
-
-    if nc == 1:
-        rows, colsT = tri_call(pos, pjt, v, v)
-        return _epilogue(pos, rows, colsT.T)[:n]
-
-    rows_total = jnp.zeros((np_, 4), jnp.float32)
-    cols_total = jnp.zeros((4, np_), jnp.float32)
-
-    def add_rows(buf, off, r):
-        zero = jnp.zeros((), off.dtype)
-        cur = jax.lax.dynamic_slice(buf, (off, zero), (c, 4))
-        return jax.lax.dynamic_update_slice(buf, cur + r, (off, zero))
-
-    def add_cols(buf, off, ct):
-        zero = jnp.zeros((), off.dtype)
-        cur = jax.lax.dynamic_slice(buf, (zero, off), (4, c))
-        return jax.lax.dynamic_update_slice(buf, cur + ct, (zero, off))
-
-    def slice_chunk(off):
-        zero = jnp.zeros((), off.dtype)
-        pa = jax.lax.dynamic_slice(pos, (off, zero), (c, 3))
-        pat = jax.lax.dynamic_slice(pjt, (zero, off), (3, c))
-        va = jax.lax.dynamic_slice(v, (off, zero), (c, 4))
-        return pa, pat, va
-
-    def tri_body(carry, off):
-        rows, cols = carry
-        pa, pat, va = slice_chunk(off)
-        r, ct = tri_call(pa, pat, va, va)
-        return (add_rows(rows, off, r), add_cols(cols, off, ct)), None
-
-    offs = jnp.arange(nc, dtype=jnp.int32) * c
-    (rows_total, cols_total), _ = jax.lax.scan(
-        tri_body, (rows_total, cols_total), offs
-    )
-
-    pair_offs = jnp.asarray(
-        [(a * c, b * c) for a in range(nc) for b in range(a + 1, nc)],
-        dtype=jnp.int32,
-    )
-
-    def cross_body(carry, ab):
-        rows, cols = carry
-        pa, _, va = slice_chunk(ab[0])
-        _, pbt, vb = slice_chunk(ab[1])
-        r, ct = cross_call(pa, pbt, va, vb)
-        return (add_rows(rows, ab[0], r), add_cols(cols, ab[1], ct)), None
-
-    (rows_total, cols_total), _ = jax.lax.scan(
-        cross_body, (rows_total, cols_total), pair_offs
-    )
-
-    return _epilogue(pos, rows_total, cols_total.T)[:n]
+    return pos, pos.T, v
 
 
-def body_force_sym_mxu_segmented(
-    pos,
-    mass=None,
-    softening: float = SOFTENING,
-    tile: int = 1024,
-    chunk: int = 131072,
-    interpret: bool = False,
-    pairs_per_dispatch: float = 4e12,
-    progress=None,
-):
-    """body_force_sym_mxu driven as multiple host dispatches for N where one
-    force pass exceeds the execution watchdog (shared driver + crash-bound
-    rationale: ops/hostseg.py). Bit-identical to the one-program path."""
-    from mini_nbody_tpu.ops import hostseg
-
-    n = pos.shape[0]
-    pos = pos.astype(jnp.float32)
-    tile = min(tile, round_up(n, 8))
-    if not interpret and tile < round_up(n, 8):
-        tile = round_up(tile, 128)
-    nc = max(1, -(-n // chunk))
-    c = round_up(-(-n // nc), tile)
-    np_ = nc * c
-    if np_ != n:
-        pos = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=FAR)
-    if mass is None:
-        v = jnp.concatenate([pos, jnp.ones((np_, 1), jnp.float32)], axis=1)
-    else:
-        m = mass.astype(jnp.float32)
-        if np_ != n:
-            m = jnp.pad(m, (0, np_ - n))
-        v = jnp.concatenate([pos * m[:, None], m[:, None]], axis=1)
-    pjt = pos.T
-    tri_call, cross_call = _build_calls(softening, tile, c, interpret)
+def _make_scan_bodies(tri_call, cross_call, c):
+    """Scan bodies accumulating (rows (Np,4), colsT (4,Np)); the packed
+    arrays (pos, pjt, v) thread through the carry so the same bodies serve
+    the one-program scans and the host-segmented runners."""
 
     def add_rows(buf, off, r):
         zero = jnp.zeros((), off.dtype)
@@ -375,9 +276,86 @@ def body_force_sym_mxu_segmented(
         return (add_rows(rows, ab[0], r), add_cols(cols, ab[1], ct),
                 pos_, pjt_, v_), None
 
+    return tri_body, cross_body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "chunk", "interpret"),
+)
+def body_force_sym_mxu(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    chunk: int = 131072,
+    interpret: bool = False,
+):
+    """All-pairs forces via the symmetric MXU hybrid (module docstring).
+
+    Mass mode costs the same as unit-mass: masses fold into the [m*p | m]
+    matmul operands computed once outside the kernel. bf16-accumulate error
+    class (~3e-3 median); use backend='sym' for fp32-exact.
+    """
+    n = pos.shape[0]
+    tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
+    pos, pjt, v = _pack(pos, mass, n, np_)
+    tri_call, cross_call = _build_calls(softening, tile, c, interpret)
+
+    if nc == 1:
+        rows, colsT = tri_call(pos, pjt, v, v)
+        return _epilogue(pos, rows, colsT.T)[:n]
+
+    tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c)
+    carry = (jnp.zeros((np_, 4), jnp.float32),
+             jnp.zeros((4, np_), jnp.float32), pos, pjt, v)
+
+    offs = jnp.arange(nc, dtype=jnp.int32) * c
+    carry, _ = jax.lax.scan(tri_body, carry, offs)
+    from mini_nbody_tpu.ops.hostseg import cross_pair_offsets
+
+    pair_offs = jnp.asarray(cross_pair_offsets(nc, c), dtype=jnp.int32)
+    carry, _ = jax.lax.scan(cross_body, carry, pair_offs)
+
+    return _epilogue(pos, carry[0], carry[1].T)[:n]
+
+
+@functools.lru_cache(maxsize=16)
+def _segmented_runners(softening, tile, c, interpret):
+    """Cached (per static config) jitted group runners — see
+    symmetric_force._segmented_runners."""
+    from mini_nbody_tpu.ops import hostseg
+
+    tri_call, cross_call = _build_calls(softening, tile, c, interpret)
+    tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c)
+    return hostseg.make_runners(tri_body, cross_body)
+
+
+def body_force_sym_mxu_segmented(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    chunk: int = 131072,
+    interpret: bool = False,
+    pairs_per_dispatch: float = 4e12,
+    progress=None,
+):
+    """body_force_sym_mxu driven as multiple host dispatches for N where one
+    force pass exceeds the execution watchdog (shared driver + crash-bound
+    rationale: ops/hostseg.py). Same kernels and unit order as the
+    one-program path (few-ulp diffs from XLA dot reassociation only)."""
+    from mini_nbody_tpu.ops import hostseg
+
+    n = pos.shape[0]
+    tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
+    pos, pjt, v = _pack(pos, mass, n, np_)
+    run_tri, run_cross = _segmented_runners(
+        float(softening), tile, c, interpret)
+
     accs = (jnp.zeros((np_, 4), jnp.float32),
             jnp.zeros((4, np_), jnp.float32))
     rows_total, cols_total = hostseg.drive(
-        tri_body, cross_body, accs, (pos, pjt, v), nc, c,
+        run_tri, run_cross, accs, (pos, pjt, v), nc, c,
         pairs_per_dispatch=pairs_per_dispatch, progress=progress)
     return _epilogue(pos, rows_total, cols_total.T)[:n]

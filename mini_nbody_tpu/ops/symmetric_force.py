@@ -368,8 +368,9 @@ def body_force_symmetric_segmented(
     `pairs_per_dispatch` (see ops/hostseg.py for the shared driver and the
     measured worker-crash bound that sets the 4e12 default); the (rows,
     cols) accumulators are donated between dispatches while the packed
-    positions — which may alias the caller's arrays — are not. At most 4
-    programs compile: full/ragged groups x tri/cross.
+    positions — which may alias the caller's arrays — are not. The group
+    runners are lru-cached per static config so repeated calls (e.g. every
+    step of a host-stepped huge-N trajectory) reuse the compiled programs.
     `progress(done_units, total_units)` is called after every dispatch.
     """
     from mini_nbody_tpu.ops import hostseg
@@ -380,15 +381,26 @@ def body_force_symmetric_segmented(
     pos = _pack(pos, mass, n, np_)
     k = pos.shape[1]
     pjt = pos.T
-    tri_call, cross_call = _build_calls(softening, tile, c, k, interpret)
-    tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c, k)
+    run_tri, run_cross = _segmented_runners(
+        float(softening), tile, c, k, interpret)
 
     accs = (jnp.zeros((np_, 3), jnp.float32),
             jnp.zeros((3, np_), jnp.float32))
     rows_total, cols_total = hostseg.drive(
-        tri_body, cross_body, accs, (pos, pjt), nc, c,
+        run_tri, run_cross, accs, (pos, pjt), nc, c,
         pairs_per_dispatch=pairs_per_dispatch, progress=progress)
     return (rows_total + cols_total.T)[:n]
+
+
+@functools.lru_cache(maxsize=16)
+def _segmented_runners(softening, tile, c, k, interpret):
+    """Cached (per static config) jitted group runners — jit caches by
+    function identity, so these must not be rebuilt per force call."""
+    from mini_nbody_tpu.ops import hostseg
+
+    tri_call, cross_call = _build_calls(softening, tile, c, k, interpret)
+    tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c, k)
+    return hostseg.make_runners(tri_body, cross_body)
 
 
 @functools.partial(

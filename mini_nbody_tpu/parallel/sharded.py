@@ -242,9 +242,13 @@ def _make_local_diff_force(cfg: SimConfig, n_shards: int):
         pos_local, mass_local = res
         if ring and n_shards > 1:
             acc = jnp.zeros_like(pos_local)
-            cur = (pos_local, g_local, mass_local)
+            # masses only travel when the force law uses them (unit-mass
+            # configs would ppermute a dead array every hop)
+            cur = (pos_local, g_local) + ((mass_local,) if use_m else ())
             for k in range(n_shards):
-                acc = acc + _rect(pos_local, g_local, mass_local, *cur)
+                cur_m = cur[2] if use_m else mass_local
+                acc = acc + _rect(pos_local, g_local, mass_local,
+                                  cur[0], cur[1], cur_m)
                 if k < n_shards - 1:
                     cur = tuple(
                         jax.lax.ppermute(x, BODY_AXIS, perm) for x in cur)
@@ -252,7 +256,9 @@ def _make_local_diff_force(cfg: SimConfig, n_shards: int):
         else:
             pos_all = jax.lax.all_gather(pos_local, gather_axes, tiled=True)
             g_all = jax.lax.all_gather(g_local, gather_axes, tiled=True)
-            mass_all = jax.lax.all_gather(mass_local, gather_axes, tiled=True)
+            mass_all = (jax.lax.all_gather(mass_local, gather_axes,
+                                           tiled=True)
+                        if use_m else mass_local)
             pos_bar = _rect(pos_local, g_local, mass_local,
                             pos_all, g_all, mass_all)
         return pos_bar, jnp.zeros_like(mass_local)
@@ -328,11 +334,14 @@ def simulate_sharded(cfg: SimConfig, mesh: Mesh, state: BodyState, steps=None):
         carry, _ = jax.lax.scan(body, carry, None, length=nsteps)
         return carry
 
+    from mini_nbody_tpu.sim import _sync
+
     carry = init_sharded_carry(cfg, mesh, state)
     seg = max_steps_per_dispatch(n, n_shards)
     full, rem = divmod(steps, seg) if steps > seg else (0, steps)
     for _ in range(full):
         carry = run(carry, nsteps=seg)
+        _sync(carry)  # pace the queue per dispatch (sim._sync docstring)
     if rem:
         carry = run(carry, nsteps=rem)
     final, _ = carry

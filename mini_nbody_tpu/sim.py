@@ -99,6 +99,17 @@ def max_steps_per_dispatch(n: int, n_devices: int = 1) -> int:
     return max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / max(per_step, 1e-12)))
 
 
+def _sync(tree):
+    """Force a device->host transfer of one element: block_until_ready can
+    return before remote execution completes through the axon tunnel, and
+    queueing many dispatches behind one final read crashes the TPU worker
+    (ops/hostseg.py). Every host segmentation loop must sync per dispatch."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 def simulate(
     cfg: SimConfig,
     state: BodyState,
@@ -128,6 +139,7 @@ def simulate(
     full, rem = divmod(steps, seg)
     for _ in range(full):
         carry = _simulate_scan(cfg, carry, seg)
+        _sync(carry)
     if rem:
         carry = _simulate_scan(cfg, carry, rem)
     return carry[0]
@@ -154,6 +166,8 @@ def _simulate_hostseg(cfg: SimConfig, state: BodyState, steps: int) -> BodyState
     acc = initial_acc(state, force, cfg.integrator)
     for _ in range(steps):
         state, acc = integ(state, acc, force, cfg.dt)
+        # the segmented force syncs per dispatch internally; the O(N)
+        # integrate ops need no extra pacing
     return state
 
 
@@ -180,6 +194,12 @@ def trajectory(cfg: SimConfig, state: BodyState, steps: int, save_every: int = 1
     """
     if steps % save_every != 0:
         raise ValueError("steps must be divisible by save_every")
+    per_step = float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
+    if per_step > MAX_DEVICE_SECONDS_PER_DISPATCH:
+        # One force pass alone exceeds the watchdog: host-stepped loop with
+        # the segmented force, collecting snapshots on the way (the
+        # trajectory analog of _simulate_hostseg).
+        return _trajectory_hostseg(cfg, state, steps, save_every)
     carry = init_carry(cfg, state)
     seg = max_steps_per_dispatch(cfg.n)
     seg = max(save_every, seg - seg % save_every)  # multiple of save_every
@@ -191,6 +211,30 @@ def trajectory(cfg: SimConfig, state: BodyState, steps: int, save_every: int = 1
     while done < steps:
         k = min(seg, steps - done)
         carry, hist = _trajectory_scan(cfg, carry, k, save_every)
+        _sync(carry)
         chunks.append(hist)
         done += k
     return carry[0], jnp.concatenate(chunks, axis=0)
+
+
+def _trajectory_hostseg(cfg: SimConfig, state: BodyState, steps: int,
+                        save_every: int):
+    from mini_nbody_tpu.ops.symmetric_force import (
+        body_force_symmetric_segmented)
+
+    interpret = cfg.resolve_interpret()
+
+    def force(pos_i, _pos_j, mass_j):
+        return body_force_symmetric_segmented(
+            pos_i, mass_j if cfg.use_masses else None,
+            softening=float(cfg.softening), interpret=interpret,
+        )
+
+    integ = INTEGRATORS[cfg.integrator]
+    acc = initial_acc(state, force, cfg.integrator)
+    snaps = []
+    for k in range(1, steps + 1):
+        state, acc = integ(state, acc, force, cfg.dt)
+        if k % save_every == 0:
+            snaps.append(state.pos)
+    return state, jnp.stack(snaps)

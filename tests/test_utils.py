@@ -206,14 +206,19 @@ class TestPotentialEnergyKernel:
         # must switch to zero-mass padding.
         self._check(300, masses=False)
 
-    def test_coincident_masked(self):
+    def test_self_excluded_coincident_kept(self):
+        # The diagonal is masked by exact INDEX: distinct coincident bodies
+        # keep their real eps^-0.5 pair term, exactly like the jnp
+        # diagnostic (r1-review finding: a |d|^2==0 mask silently dropped
+        # those terms and diverged from potential_energy).
         import jax.numpy as jnp
         from mini_nbody_tpu.ops.pe_kernel import potential_energy_pallas
 
-        pos = jnp.zeros((32, 3), jnp.float32)
+        n = 32
+        pos = jnp.zeros((n, 3), jnp.float32)
         interp = jax.default_backend() != "tpu"
         u = float(potential_energy_pallas(pos, softening=1e-2,
                                           tile_i=32, tile_j=128,
                                           interpret=interp))
-        assert u == 0.0  # all pairs coincident -> masked (self-consistent
-        # with the force kernels' coincidence semantics)
+        expect = -0.5 * n * (n - 1) / np.sqrt(1e-2)
+        assert abs(u - expect) / abs(expect) < 1e-5
