@@ -226,3 +226,16 @@ class TestFusedEuler:
                       backend="pallas")
         with pytest.raises(ValueError, match="fused_integrate"):
             SimConfig(n=64, fused_integrate=True, backend="sym")
+
+
+def test_segmented_runners_cached():
+    # jit caches by function identity: repeated segmented-force calls with
+    # the same static config must reuse the SAME runner objects or every
+    # call recompiles (r2 self-review finding).
+    from mini_nbody_tpu.ops.symmetric_force import _segmented_runners
+
+    a = _segmented_runners(1e-2, 64, 64, 3, True)
+    b = _segmented_runners(1e-2, 64, 64, 3, True)
+    assert a[0] is b[0] and a[1] is b[1]
+    c = _segmented_runners(1e-2, 64, 128, 3, True)
+    assert c[0] is not a[0]
