@@ -44,6 +44,10 @@ def _add_common(p):
                         "'RxC' (e.g. 2x4) selects a 2-D mesh for --comm grid")
     p.add_argument("--comm", choices=["all_gather", "ring", "ring_sym", "grid"],
                    default="ring")
+    p.add_argument("--fused-integrate", action="store_true",
+                   help="fold the Euler integrate into the direct kernel's "
+                        "epilogue (requires --backend pallas, euler, "
+                        "single chip; measured +0.7%%)")
 
 
 def _parse_mesh(devices):
@@ -62,6 +66,7 @@ def _build(args):
         pair_dtype=args.pair_dtype, tile_i=args.tile_i, tile_j=args.tile_j,
         comm=args.comm,
         mesh_shape=_parse_mesh(args.devices),
+        fused_integrate=args.fused_integrate,
         # uniform init has unit masses (reference semantics -> fast path);
         # plummer/cold_sphere carry per-body masses.
         use_masses=args.init != "uniform",

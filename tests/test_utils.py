@@ -222,3 +222,36 @@ class TestPotentialEnergyKernel:
                                           interpret=interp))
         expect = -0.5 * n * (n - 1) / np.sqrt(1e-2)
         assert abs(u - expect) / abs(expect) < 1e-5
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    state = init.uniform_random(jax.random.key(7), 64)
+    cfg = SimConfig(n=64, steps=3)
+    path = ckpt.save_orbax(tmp_path / "ock", state, step=9, cfg=cfg)
+    s2, step, cfg_dict = ckpt.load_orbax(path)
+    assert step == 9
+    np.testing.assert_array_equal(np.asarray(s2.pos), np.asarray(state.pos))
+    np.testing.assert_array_equal(np.asarray(s2.vel), np.asarray(state.vel))
+    assert ckpt.restore_config(cfg_dict) == cfg
+
+
+def test_orbax_checkpoint_sharded_restore(tmp_path):
+    # restore directly onto the mesh: no host gather (unlike npz)
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs 8 devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mini_nbody_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    state = init.uniform_random(jax.random.key(8), 128)
+    path = ckpt.save_orbax(tmp_path / "ock2", state, step=1)
+    shardings = {
+        "pos": NamedSharding(mesh, P("i", None)),
+        "vel": NamedSharding(mesh, P("i", None)),
+        "mass": NamedSharding(mesh, P("i")),
+    }
+    s2, step, _ = ckpt.load_orbax(path, sharding=shardings)
+    assert step == 1
+    assert s2.pos.sharding.spec == P("i", None)
+    np.testing.assert_array_equal(np.asarray(s2.pos), np.asarray(state.pos))
