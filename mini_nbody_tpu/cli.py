@@ -139,6 +139,29 @@ def cmd_bench(args):
 
     cfg = _build(args)
     state = _state(args, cfg)
+    from mini_nbody_tpu.sim import (
+        MAX_DEVICE_SECONDS_PER_DISPATCH, _CONSERVATIVE_GINTER_S,
+        _simulate_hostseg)
+
+    per_step = float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
+    if not cfg.mesh_shape and per_step > MAX_DEVICE_SECONDS_PER_DISPATCH:
+        # One force pass exceeds the watchdog: time the host-stepped path
+        # (warm-up step first so compiles are excluded), like simulate uses.
+        _simulate_hostseg(cfg, state, 1)  # warmup/compile
+        t0 = time.perf_counter()
+        out = _simulate_hostseg(cfg, state, 1)
+        np.asarray(jax.device_get(out.pos[0, 0]))
+        sec = time.perf_counter() - t0
+        from mini_nbody_tpu.utils.harness import Throughput, roofline_path
+
+        t = Throughput(n=cfg.n, steps=1, seconds=sec, n_devices=1)
+        print(json.dumps({
+            "device": jax.devices()[0].device_kind,
+            "backend": "sym (host-segmented)",
+            "pair_dtype": cfg.pair_dtype,
+            **t.report(path="sym" if not cfg.use_masses else "sym_mass"),
+        }))
+        return
     if cfg.mesh_shape:
         from mini_nbody_tpu.parallel import make_mesh, shard_state
         from mini_nbody_tpu.parallel.sharded import (

@@ -69,3 +69,16 @@ def test_check_gate_symmetric_backends(backend, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["ok"] is True
     assert rep["backend"] == backend
+
+
+def test_bench_hostseg_route(monkeypatch, capsys):
+    # bench must not dispatch a single-jit step when one force pass exceeds
+    # the watchdog — route through the host-stepped path like simulate.
+    from mini_nbody_tpu import sim as simmod
+
+    monkeypatch.setattr(simmod, "MAX_DEVICE_SECONDS_PER_DISPATCH",
+                        0.5 * 256 * 256 / (simmod._CONSERVATIVE_GINTER_S * 1e9))
+    cli.main(["bench", "--n", "256", "--backend", "sym", "--reps", "1"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["backend"] == "sym (host-segmented)"
+    assert rep["ginteractions_per_s"] > 0
