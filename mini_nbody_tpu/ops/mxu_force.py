@@ -19,9 +19,10 @@ Accumulation precision (per BASELINE.json config 3, "bf16-pair /
 fp32-accumulate"):
   * pair_dtype=bfloat16 -> MXU DEFAULT: single-pass bf16 operands, fp32
     accumulator. ~239 GInter/s at N=262k on v5e (vs 172 direct). Per-body
-    force error: median ~3e-3, tail up to ~0.5 on the very closest pairs
-    (bf16 rounding of the dominant w term survives the epilogue
-    cancellation). The throughput mode.
+    force error: the uniform ~3e-3 w-rounding class; the free compensated
+    split of the [p|1] operand (see _hybrid_kernel docstring) removes the
+    former cancellation-amplified tails (was ~0.5 max, now ~1e-2). The
+    throughput mode.
   * pair_dtype=float32 -> MXU HIGHEST: true fp32 contract; error ~6e-6 but
     the fp32 MXU passes make it slower than the direct kernel (~117 GInter/s)
     — provided for completeness; prefer backend="pallas" for fp32.
@@ -62,8 +63,15 @@ _CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
 
 
 def _hybrid_kernel(pi_ref, pjt_ref, vj_ref, out_ref, acc_ref, *, softening,
-                   nj_steps, unit_mass, acc_precision):
-    """Direct fp32 r2 on VPU; accumulation matmul on MXU."""
+                   nj_steps, unit_mass, acc_precision, vcols):
+    """Direct fp32 r2 on VPU; accumulation matmul on MXU.
+
+    In bf16 mode vj is the (TJ, 8) [vhi | vlo] compensated operand split
+    (see sym_mxu_force._pack): without it the bf16 rounding of [p|1] is
+    amplified by net-force cancellation into per-body error tails to ~0.5;
+    with it (free — VMEM lane padding and the MXU's native width absorb
+    the extra columns) the error is the uniform ~4e-3 w-rounding class.
+    vcols = 4 in fp32-HIGHEST mode where the split would be pure waste."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -85,7 +93,7 @@ def _hybrid_kernel(pi_ref, pjt_ref, vj_ref, out_ref, acc_ref, *, softening,
     if not unit_mass:
         w = w * pjt_ref[3:4, :]
 
-    # (TI,TJ) @ (TJ,4) = [sum w*pj | sum w] on the MXU.
+    # (TI,TJ) @ (TJ,4|8) = [sum w*pj | sum w] (x2 halves) on the MXU.
     s = jax.lax.dot_general(
         w, vj_ref[:],
         (((1,), (0,)), ((), ())),
@@ -97,6 +105,8 @@ def _hybrid_kernel(pi_ref, pjt_ref, vj_ref, out_ref, acc_ref, *, softening,
     @pl.when(j == nj_steps - 1)
     def _epilogue():
         s_tot = acc_ref[:]
+        if vcols == 8:
+            s_tot = s_tot[:, 0:4] + s_tot[:, 4:8]
         out_ref[:] = s_tot[:, 0:3] - pi * s_tot[:, 3:4]
 
 
@@ -148,12 +158,19 @@ def body_force_mxu(
     )
 
     vj = jnp.concatenate([pos_j, jnp.ones((nj_p, 1), jnp.float32)], axis=1)
+    vcols = 4
+    if acc_precision == jax.lax.Precision.DEFAULT:
+        # Compensated operand split (kernel docstring). reduce_precision,
+        # not astype: XLA folds the f32->bf16->f32 round-trip to identity.
+        vhi = jax.lax.reduce_precision(vj, 8, 7)
+        vj = jnp.concatenate([vhi, vj - vhi], axis=1)
+        vcols = 8
     pjt_rows = [pos_j.T] if unit_mass else [pos_j.T, mass_j[None, :]]
     pjt = jnp.concatenate(pjt_rows, axis=0)  # (3 or 4, Nj)
 
     kernel = functools.partial(
         _hybrid_kernel, softening=float(softening), nj_steps=grid[1],
-        unit_mass=unit_mass, acc_precision=acc_precision,
+        unit_mass=unit_mass, acc_precision=acc_precision, vcols=vcols,
     )
     out = pl.pallas_call(
         kernel,
@@ -163,13 +180,13 @@ def body_force_mxu(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pjt.shape[0], tile_j), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_j, 4), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_j, vcols), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ni_p, 3), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_i, 4), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_i, vcols), jnp.float32)],
         compiler_params=_CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
         ),

@@ -18,16 +18,31 @@ and vs ~32 for mass-mode symmetric).
 Precision: the matmuls run at MXU DEFAULT = single-pass bf16 operands with
 fp32 accumulation (Mosaic supports only DEFAULT and HIGHEST; HIGHEST's fp32
 contract passes are slower than the pure-VPU kernel — measured 117 GInter/s
-in mxu_force.py). bf16 rounding of w and of the [p|1] operand puts this in
-the same error class as mxu_force's bf16 mode (~3e-3 median force error,
-tails on the closest pairs); the fp32-exact headline stays with
-symmetric_force.py. Self/coincident pairs are masked on the pre-softening
-|d|^2 == 0 (their eps^-1.5 weight would otherwise swamp the accumulators —
-same mask as mxu_force.py/autodiff.py).
+in mxu_force.py). bf16 rounding splits into two very different error terms:
+
+  * rounding of w: a plain ~4e-3 RELATIVE error on each pair force (the
+    epilogue multiplies dw by the true displacement) — the 2.7e-3 median.
+  * rounding of the [m*p | m] operand: dp enters as w*dp, while the true
+    pair force is w*|d| — AMPLIFIED by |p|/|d| on close pairs (the p99-0.14
+    tails measured in round 2).
+
+The second term is eliminated for free by an error-compensated operand
+split: v = vhi + vlo with vhi = bf16(v), packed as one (T, 8) operand
+[vhi | vlo]. VMEM lane-pads the minor dim to 128 and the MXU pads the
+matmul to its native width, so the wider operand costs no extra VMEM and
+no extra VPU work; hi and lo halves accumulate in the same fp32 buffers
+and are summed in the epilogue. Residual operand error ~1e-5*|p| (16
+effective mantissa bits), below the w term even at |p|/|d| ~ 300. The
+remaining ~3e-3 relative error class is uniform (no cancellation tails);
+the fp32-exact headline stays with symmetric_force.py. Self/coincident
+pairs are masked on the pre-softening |d|^2 == 0 (their eps^-1.5 weight
+would otherwise swamp the accumulators — same mask as
+mxu_force.py/autodiff.py).
 
 Structure: same diagonal-band traversal and accumulator layout as
-symmetric_force.py (rows = blocked (T,4) output with consecutive-revisit
-accumulation; reactions = whole-chunk constant-index (4,C) output), same
+symmetric_force.py (rows = blocked (T,8) output with consecutive-revisit
+accumulation; reactions = whole-chunk constant-index (8,C) output — both
+free of extra VMEM vs 4-wide: f32 sublane padding is 8), same
 chunk decomposition for large N; see that module's docstring for why Pallas
 forces this shape. Reference anchors as in symmetric_force.py.
 """
@@ -75,12 +90,35 @@ def _mm(a, b, dims):
     )
 
 
+def _w_parts(w, split_w):
+    """(whi, wlo) on the bf16 grid for the compensated w split, or (w,)
+    plain. With split_w each matmul runs twice (hi + lo pass) for a ~256x
+    smaller w rounding error at +2 VPU ops/pair. Mosaic does not lower
+    reduce_precision, but unlike XLA (see _pack) it also does not fold the
+    bf16 astype round-trip into identity (verified on-chip: split_w error
+    drops to the compensated class, which would be impossible if wlo == 0)."""
+    if not split_w:
+        return (w,)
+    whi = w.astype(jnp.bfloat16).astype(jnp.float32)
+    return (whi, w - whi)
+
+
+def _mm_rows(w_parts, vj):
+    """sum_parts (T,T) @ (T,8) row sums."""
+    return sum(_mm(wp, vj, ((1,), (0,))) for wp in w_parts)
+
+
+def _mm_cols(vi, w_parts):
+    """sum_parts (T,8)^T-contracted (8,T) reaction sums."""
+    return sum(_mm(vi, wp, ((0,), (0,))) for wp in w_parts)
+
+
 def _tri_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
-                softening, tile, fast, nb):
+                softening, tile, fast, nb, split_w):
     """Self-chunk diagonal-band step: block (i, (i+d) mod nb) at grid (i, d)."""
     i = pl.program_id(0)
     d = pl.program_id(1)
-    jg = jax.lax.rem(i + d, jnp.int32(nb))
+    jg = jax.lax.rem(i + d, jnp.int32(nb))  # vi/vj refs are (T, 8) [vhi|vlo]
 
     @pl.when(jnp.logical_and(d == 0, i == 0))
     def _zero_cols():
@@ -90,8 +128,8 @@ def _tri_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
 
     @pl.when(active)
     def _work():
-        w = _w_block(pi_ref[:], pjt_ref[:], softening, fast)
-        s_r = _mm(w, vj_ref[:], (((1,), (0,))))  # (T, 4)
+        w = _w_parts(_w_block(pi_ref[:], pjt_ref[:], softening, fast), split_w)
+        s_r = _mm_rows(w, vj_ref[:])  # (T, 8)
 
         @pl.when(d == 0)
         def _rows_init():
@@ -103,13 +141,13 @@ def _tri_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
 
         @pl.when(d > 0)  # diagonal blocks: row sums already cover both orders
         def _cols():
-            s_c = _mm(vi_ref[:], w, (((0,), (0,))))  # (4, T)
+            s_c = _mm_cols(vi_ref[:], w)  # (8, T)
             cj = pl.ds(jg * tile, tile)
             colsT_ref[:, cj] = colsT_ref[:, cj] + s_c
 
 
 def _cross_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
-                  softening, tile, fast):
+                  softening, tile, fast, split_w):
     """Cross-chunk step (i in chunk a, j in chunk b, a != b)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -118,8 +156,8 @@ def _cross_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
     def _zero_cols():
         colsT_ref[:] = jnp.zeros_like(colsT_ref)
 
-    w = _w_block(pi_ref[:], pjt_ref[:], softening, fast)
-    s_r = _mm(w, vj_ref[:], (((1,), (0,))))
+    w = _w_parts(_w_block(pi_ref[:], pjt_ref[:], softening, fast), split_w)
+    s_r = _mm_rows(w, vj_ref[:])
 
     @pl.when(j == 0)
     def _rows_init():
@@ -129,7 +167,7 @@ def _cross_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
     def _rows_acc():
         rows_ref[:] = rows_ref[:] + s_r
 
-    s_c = _mm(vi_ref[:], w, (((0,), (0,))))
+    s_c = _mm_cols(vi_ref[:], w)
     cj = pl.ds(j * tile, tile)
     colsT_ref[:, cj] = colsT_ref[:, cj] + s_c
 
@@ -140,14 +178,14 @@ def _common_params(pairs, io_bytes):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=17 * pairs + 16 * pairs,  # VPU w + 2 padded matmul sides
+            flops=17 * pairs + 32 * pairs,  # VPU w + 2 padded (.,8) matmuls
             bytes_accessed=io_bytes,
             transcendentals=pairs,
         ),
     )
 
 
-def _build_calls(softening, tile, c, interpret):
+def _build_calls(softening, tile, c, interpret, split_w=False):
     """The two Mosaic kernels for chunk size c (shared by the one-program
     and host-segmented drivers)."""
     nb = c // tile
@@ -156,49 +194,49 @@ def _build_calls(softening, tile, c, interpret):
     vm = pltpu.VMEM
     tri_call = pl.pallas_call(
         functools.partial(_tri_kernel, softening=float(softening), tile=tile,
-                          fast=fast, nb=nb),
+                          fast=fast, nb=nb, split_w=split_w),
         grid=(nb, nd),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
             pl.BlockSpec((3, tile),
                          lambda i, d: (0, jax.lax.rem(i + d, jnp.int32(nb))),
                          memory_space=vm),
-            pl.BlockSpec((tile, 4), lambda i, d: (i, 0), memory_space=vm),
-            pl.BlockSpec((tile, 4),
+            pl.BlockSpec((tile, 8), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile, 8),
                          lambda i, d: (jax.lax.rem(i + d, jnp.int32(nb)), 0),
                          memory_space=vm),
         ],
         out_specs=[
-            pl.BlockSpec((tile, 4), lambda i, d: (i, 0), memory_space=vm),
-            pl.BlockSpec((4, c), lambda i, d: (0, 0), memory_space=vm),
+            pl.BlockSpec((tile, 8), lambda i, d: (i, 0), memory_space=vm),
+            pl.BlockSpec((8, c), lambda i, d: (0, 0), memory_space=vm),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, 4), jnp.float32),
-            jax.ShapeDtypeStruct((4, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, c), jnp.float32),
         ],
         interpret=interpret,
-        **_common_params(nb * nd * tile * tile, c * 64),
+        **_common_params(nb * nd * tile * tile, c * 96),
     )
     cross_call = pl.pallas_call(
         functools.partial(_cross_kernel, softening=float(softening),
-                          tile=tile, fast=fast),
+                          tile=tile, fast=fast, split_w=split_w),
         grid=(nb, nb),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i, j: (i, 0), memory_space=vm),
             pl.BlockSpec((3, tile), lambda i, j: (0, j), memory_space=vm),
-            pl.BlockSpec((tile, 4), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((tile, 4), lambda i, j: (j, 0), memory_space=vm),
+            pl.BlockSpec((tile, 8), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile, 8), lambda i, j: (j, 0), memory_space=vm),
         ],
         out_specs=[
-            pl.BlockSpec((tile, 4), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((4, c), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((tile, 8), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((8, c), lambda i, j: (0, 0), memory_space=vm),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, 4), jnp.float32),
-            jax.ShapeDtypeStruct((4, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, c), jnp.float32),
         ],
         interpret=interpret,
-        **_common_params(c * c, c * 64),
+        **_common_params(c * c, c * 96),
     )
     return tri_call, cross_call
 
@@ -209,8 +247,11 @@ def _epilogue(pos, s_r, s_cT):
     Rows:      F_i += S_r[i,:3] - p_i S_r[i,3]   (sum_j w (p_j - p_i))
     Reactions: F_j += S_c[:3,j] - p_j S_c[3,j]   (sum_i w (p_i - p_j))
     Both share the shape (sum of w-weighted positions) - p * (sum of w),
-    so one fused epilogue over s = S_r + S_c^T covers them."""
+    so one fused epilogue over s = S_r + S_c^T covers them. Columns 4:8
+    carry the lo half of the compensated operand split (module docstring)
+    and fold in here, after all fp32 accumulation."""
     s = s_r + s_cT
+    s = s[:, 0:4] + s[:, 4:8]
     return s[:, 0:3] - pos * s[:, 3:4]
 
 
@@ -225,7 +266,14 @@ def _resolve_tiling(n, tile, chunk, interpret):
 
 def _pack(pos, mass, n, np_):
     """Pad (FAR positions / zero masses) and build the matmul operand
-    v = [m*p | m] (ones-mass when mass is None)."""
+    v = [m*p | m] (ones-mass when mass is None), split into the (N, 8)
+    [vhi | vlo] compensated form (module docstring): vhi = bf16(v) rounds
+    exactly inside the MXU, vlo = v - vhi restores ~16 mantissa bits.
+
+    The rounding MUST be lax.reduce_precision, not an astype round-trip:
+    XLA's excess-precision simplifier folds convert(convert(v, bf16), f32)
+    to v on TPU (measured: lo == 0 exactly), silently turning the split
+    into a no-op. reduce_precision is the op XLA guarantees to preserve."""
     pos = pos.astype(jnp.float32)
     if np_ != n:
         pos = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=FAR)
@@ -236,29 +284,30 @@ def _pack(pos, mass, n, np_):
         if np_ != n:
             m = jnp.pad(m, (0, np_ - n))  # zero-mass tails: inert in v too
         v = jnp.concatenate([pos * m[:, None], m[:, None]], axis=1)
-    return pos, pos.T, v
+    vhi = jax.lax.reduce_precision(v, 8, 7)  # bf16 grid, kept in f32
+    return pos, pos.T, jnp.concatenate([vhi, v - vhi], axis=1)
 
 
 def _make_scan_bodies(tri_call, cross_call, c):
-    """Scan bodies accumulating (rows (Np,4), colsT (4,Np)); the packed
+    """Scan bodies accumulating (rows (Np,8), colsT (8,Np)); the packed
     arrays (pos, pjt, v) thread through the carry so the same bodies serve
     the one-program scans and the host-segmented runners."""
 
     def add_rows(buf, off, r):
         zero = jnp.zeros((), off.dtype)
-        cur = jax.lax.dynamic_slice(buf, (off, zero), (c, 4))
+        cur = jax.lax.dynamic_slice(buf, (off, zero), (c, 8))
         return jax.lax.dynamic_update_slice(buf, cur + r, (off, zero))
 
     def add_cols(buf, off, ct):
         zero = jnp.zeros((), off.dtype)
-        cur = jax.lax.dynamic_slice(buf, (zero, off), (4, c))
+        cur = jax.lax.dynamic_slice(buf, (zero, off), (8, c))
         return jax.lax.dynamic_update_slice(buf, cur + ct, (zero, off))
 
     def slice_chunk(pos_, pjt_, v_, off):
         zero = jnp.zeros((), off.dtype)
         pa = jax.lax.dynamic_slice(pos_, (off, zero), (c, 3))
         pat = jax.lax.dynamic_slice(pjt_, (zero, off), (3, c))
-        va = jax.lax.dynamic_slice(v_, (off, zero), (c, 4))
+        va = jax.lax.dynamic_slice(v_, (off, zero), (c, 8))
         return pa, pat, va
 
     def tri_body(carry, off):
@@ -281,7 +330,7 @@ def _make_scan_bodies(tri_call, cross_call, c):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softening", "tile", "chunk", "interpret"),
+    static_argnames=("softening", "tile", "chunk", "interpret", "split_w"),
 )
 def body_force_sym_mxu(
     pos,
@@ -290,25 +339,29 @@ def body_force_sym_mxu(
     tile: int = 1024,
     chunk: int = 131072,
     interpret: bool = False,
+    split_w: bool = False,
 ):
     """All-pairs forces via the symmetric MXU hybrid (module docstring).
 
     Mass mode costs the same as unit-mass: masses fold into the [m*p | m]
     matmul operands computed once outside the kernel. bf16-accumulate error
-    class (~3e-3 median); use backend='sym' for fp32-exact.
+    class with the compensated operand split (~1e-4 median / ~1e-3 p99);
+    split_w adds a compensating lo-pass for w too (~1e-5 class, measured
+    rate in benchmarks/RESULTS.md); use backend='sym' for fp32-exact.
     """
     n = pos.shape[0]
     tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
     pos, pjt, v = _pack(pos, mass, n, np_)
-    tri_call, cross_call = _build_calls(softening, tile, c, interpret)
+    tri_call, cross_call = _build_calls(softening, tile, c, interpret,
+                                        split_w)
 
     if nc == 1:
         rows, colsT = tri_call(pos, pjt, v, v)
         return _epilogue(pos, rows, colsT.T)[:n]
 
     tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c)
-    carry = (jnp.zeros((np_, 4), jnp.float32),
-             jnp.zeros((4, np_), jnp.float32), pos, pjt, v)
+    carry = (jnp.zeros((np_, 8), jnp.float32),
+             jnp.zeros((8, np_), jnp.float32), pos, pjt, v)
 
     offs = jnp.arange(nc, dtype=jnp.int32) * c
     carry, _ = jax.lax.scan(tri_body, carry, offs)
@@ -321,12 +374,13 @@ def body_force_sym_mxu(
 
 
 @functools.lru_cache(maxsize=16)
-def _segmented_runners(softening, tile, c, interpret):
+def _segmented_runners(softening, tile, c, interpret, split_w=False):
     """Cached (per static config) jitted group runners — see
     symmetric_force._segmented_runners."""
     from mini_nbody_tpu.ops import hostseg
 
-    tri_call, cross_call = _build_calls(softening, tile, c, interpret)
+    tri_call, cross_call = _build_calls(softening, tile, c, interpret,
+                                        split_w)
     tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c)
     return hostseg.make_runners(tri_body, cross_body)
 
@@ -340,6 +394,7 @@ def body_force_sym_mxu_segmented(
     interpret: bool = False,
     pairs_per_dispatch: float = 4e12,
     progress=None,
+    split_w: bool = False,
 ):
     """body_force_sym_mxu driven as multiple host dispatches for N where one
     force pass exceeds the execution watchdog (shared driver + crash-bound
@@ -351,10 +406,10 @@ def body_force_sym_mxu_segmented(
     tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
     pos, pjt, v = _pack(pos, mass, n, np_)
     run_tri, run_cross = _segmented_runners(
-        float(softening), tile, c, interpret)
+        float(softening), tile, c, interpret, split_w)
 
-    accs = (jnp.zeros((np_, 4), jnp.float32),
-            jnp.zeros((4, np_), jnp.float32))
+    accs = (jnp.zeros((np_, 8), jnp.float32),
+            jnp.zeros((8, np_), jnp.float32))
     rows_total, cols_total = hostseg.drive(
         run_tri, run_cross, accs, (pos, pjt, v), nc, c,
         pairs_per_dispatch=pairs_per_dispatch, progress=progress)
