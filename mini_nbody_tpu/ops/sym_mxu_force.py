@@ -250,9 +250,7 @@ def _epilogue(pos, s_r, s_cT):
     so one fused epilogue over s = S_r + S_c^T covers them. Columns 4:8
     carry the lo half of the compensated operand split (module docstring)
     and fold in here, after all fp32 accumulation."""
-    s = s_r + s_cT
-    s = s[:, 0:4] + s[:, 4:8]
-    return s[:, 0:3] - pos * s[:, 3:4]
+    return _combine(pos, s_r + s_cT)
 
 
 def _resolve_tiling(n, tile, chunk, interpret):
@@ -371,6 +369,79 @@ def body_force_sym_mxu(
     carry, _ = jax.lax.scan(cross_body, carry, pair_offs)
 
     return _epilogue(pos, carry[0], carry[1].T)[:n]
+
+
+def _combine(pos, s):
+    """Rectangular epilogue half: fold the [hi | lo] split columns and form
+    F = sum(w*v)[:, :3] - p * sum(w*v)[:, 3]."""
+    s = s[:, 0:4] + s[:, 4:8]
+    return s[:, 0:3] - pos * s[:, 3:4]
+
+
+def body_force_pair_mxu(
+    pos_a,
+    pos_b,
+    mass_a=None,
+    mass_b=None,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    interpret: bool = False,
+    split_w: bool = False,
+):
+    """Forces between two DISJOINT body sets via the MXU hybrid, each cross
+    pair computed once: returns (F_on_a, F_on_b) with F_on_b the reactions.
+    The MXU counterpart of symmetric_force.body_force_pair and the building
+    block of the sym_mxu half-ring exchange (parallel/sharded.py): w is
+    computed once per cross pair on the VPU, the row sums (forces on a) and
+    reaction sums (forces on b) both ride the MXU with the compensated
+    [vhi | vlo] operand split (module docstring). Masses optional (both or
+    neither), folded into the matmul operands — mass mode costs nothing.
+
+    Like the VPU pair kernel, the (8, Nb) reaction buffer lives whole in
+    VMEM, which bounds a single launch to ring-shard-sized blocks (~512k
+    bodies per side at 16 MB VMEM) — exactly the half-ring's use.
+    """
+    if (mass_a is None) != (mass_b is None):
+        raise ValueError("body_force_pair_mxu needs both masses or neither")
+    na, nb_n = pos_a.shape[0], pos_b.shape[0]
+    tile_a = min(tile, round_up(na, 8))
+    tile_b = min(tile, round_up(nb_n, 8))
+    if not interpret:
+        if tile_a < round_up(na, 8):
+            tile_a = round_up(tile_a, 128)
+        if tile_b < round_up(nb_n, 8):
+            tile_b = round_up(tile_b, 128)
+    t = min(tile_a, tile_b)
+    na_p = round_up(na, t)
+    nb_p = round_up(nb_n, t)
+    pa, _, va = _pack(pos_a, mass_a, na, na_p)
+    pb, pbt, vb = _pack(pos_b, mass_b, nb_n, nb_p)
+
+    fast = float(softening) >= 1e-12
+    vm = pltpu.VMEM
+    rows, colsT = pl.pallas_call(
+        functools.partial(_cross_kernel, softening=float(softening),
+                          tile=t, fast=fast, split_w=split_w),
+        grid=(na_p // t, nb_p // t),
+        in_specs=[
+            pl.BlockSpec((t, 3), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, t), lambda i, j: (0, j), memory_space=vm),
+            pl.BlockSpec((t, 8), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((t, 8), lambda i, j: (j, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((t, 8), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((8, nb_p), lambda i, j: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((na_p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, nb_p), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(na_p * nb_p, (na_p + nb_p) * 48),
+    )(pa, pbt, va, vb)
+
+    return _combine(pa, rows)[:na], _combine(pb, colsT.T)[:nb_n]
 
 
 @functools.lru_cache(maxsize=16)

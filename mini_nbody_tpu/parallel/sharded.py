@@ -107,13 +107,22 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
         # Symmetric half-ring: Newton's third law ACROSS shards. A traveling
         # packet (positions [+ masses] + accumulated reactions) makes
         # ceil((P-1)/2) hops; at each hop the resident shard computes every
-        # cross pair ONCE (ops.symmetric_force.body_force_pair), adding rows
-        # locally and reactions into the packet, which finally returns to its
-        # owner in a single logical ppermute. Half the compute of the plain
-        # ring for roughly the same ICI volume (2-3 arrays per hop instead of
-        # 2, but ~half the hops).
-        from mini_nbody_tpu.ops.symmetric_force import (
-            body_force_pair, body_force_symmetric)
+        # cross pair ONCE, adding rows locally and reactions into the
+        # packet, which finally returns to its owner in a single logical
+        # ppermute. Half the compute of the plain ring for roughly the same
+        # ICI volume (2-3 arrays per hop instead of 2, but ~half the hops).
+        # The per-pair kernel family follows cfg.backend: mxu/sym_mxu run
+        # the symmetric x MXU hybrid per shard pair (the fastest kernel,
+        # bf16-accumulate with the compensated operand split); everything
+        # else runs the fp32-exact VPU pair kernel.
+        if backend in ("mxu", "sym_mxu"):
+            from mini_nbody_tpu.ops.sym_mxu_force import (
+                body_force_pair_mxu as pair_kernel,
+                body_force_sym_mxu as self_kernel)
+        else:
+            from mini_nbody_tpu.ops.symmetric_force import (
+                body_force_pair as pair_kernel,
+                body_force_symmetric as self_kernel)
 
         use_m = cfg.use_masses
         half = n_shards // 2  # hops
@@ -122,7 +131,7 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
 
         def force(pos_local, _pos_j, mass_local):
             m_local = mass_local if use_m else None
-            own = body_force_symmetric(
+            own = self_kernel(
                 pos_local, m_local,
                 softening=cfg.softening, interpret=interpret)
             if n_shards == 1:
@@ -135,7 +144,7 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
                 if use_m:
                     pkt_mass = jax.lax.ppermute(pkt_mass, BODY_AXIS, fwd)
                 pkt_f = jax.lax.ppermute(pkt_f, BODY_AXIS, fwd)
-                fa, fb = body_force_pair(
+                fa, fb = pair_kernel(
                     pos_local, pkt_pos, m_local, pkt_mass,
                     softening=cfg.softening, tile=cfg.tile_i,
                     interpret=interpret,

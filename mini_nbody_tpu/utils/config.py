@@ -48,13 +48,15 @@ class SimConfig:
       backend: force-kernel implementation. "auto" picks "pallas" on TPU and
         "jnp" elsewhere. "mxu" = hybrid kernel that routes the O(N^2) force
         accumulation through the matrix unit (see ops/mxu_force.py). "sym" =
-        Newton's-third-law kernel computing each pair once (single-chip,
-        fp32-exact, mass or unit-mass; see ops/symmetric_force.py).
-        "sym_mxu" = symmetric x MXU hybrid: w once per unordered pair on the
-        VPU, row AND reaction sums as MXU matmuls — the fastest kernel
-        (412.8 GInter/s at N=1M on v5e, mass mode same speed) at
-        bf16-accumulate accuracy (~5e-5 median force error; see
-        ops/sym_mxu_force.py).
+        Newton's-third-law kernel computing each pair once (fp32-exact,
+        mass or unit-mass; see ops/symmetric_force.py). "sym_mxu" =
+        symmetric x MXU hybrid: w once per unordered pair on the VPU, row
+        AND reaction sums as MXU matmuls — the fastest kernel (413.6
+        GInter/s at N=1M on v5e, mass mode same speed) at bf16-accumulate
+        accuracy with the compensated operand split (~1e-4 median force
+        error; see ops/sym_mxu_force.py). The pair-once backends shard only
+        under comm='ring_sym' (the exchange that preserves each-pair-once
+        across shards); 'pallas'/'mxu' shard under every comm.
       pair_dtype: precision knob for the mxu backend's accumulation matmul
         operands ("bfloat16" = single-pass MXU, the throughput mode;
         "float32" = exact contract). Distances are always exact fp32, and
@@ -116,11 +118,13 @@ class SimConfig:
             raise ValueError(
                 f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"
             )
-        if self.backend in ("sym", "sym_mxu") and self.mesh_shape is not None:
+        if (self.backend in ("sym", "sym_mxu") and self.mesh_shape is not None
+                and self.comm != "ring_sym"):
             raise ValueError(
-                f"backend {self.backend!r} is single-chip only (sharded "
-                "exchanges compute rectangular shard-vs-shard blocks); use "
-                "'pallas' or 'mxu'"
+                f"backend {self.backend!r} computes each pair once, which "
+                "only the symmetric half-ring exchange preserves across "
+                "shards; use comm='ring_sym', or backends 'pallas'/'mxu' "
+                "for the rectangular exchanges"
             )
         if self.comm not in ("all_gather", "ring", "ring_sym", "grid"):
             raise ValueError(

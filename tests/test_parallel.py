@@ -279,3 +279,35 @@ def test_grid_2d_differentiable():
     got = np.asarray(jax.jit(jax.grad(loss_sharded))(s.pos))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5 * scale)
+
+
+@pytest.mark.parametrize("p", [8, 5])
+@pytest.mark.parametrize("use_masses", [False, True])
+def test_ring_sym_mxu_backend(p, use_masses):
+    # backend='sym_mxu' under comm='ring_sym': the half-ring exchange runs
+    # the symmetric x MXU hybrid per shard pair (body_force_pair_mxu for
+    # cross hops, body_force_sym_mxu for the self hop). Interpret mode is
+    # exact fp32, so the sharded trajectory must match the jnp single-chip
+    # one to fp32 tolerances.
+    if len(jax.devices()) < p:
+        pytest.skip("needs devices")
+    m = make_mesh(p)
+    n = 520
+    mk = init.plummer if use_masses else init.uniform_random
+    state = mk(jax.random.key(17), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=4, backend="sym_mxu",
+                    comm="ring_sym", softening=1e-2, use_masses=use_masses)
+    ref = simulate(cfg.replace(comm="ring", backend="jnp",
+                               mesh_shape=None), state)
+    out = simulate_sharded(cfg, m, state)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3, atol=1e-4 * scale
+    )
+
+
+def test_sym_backend_requires_ring_sym_on_mesh():
+    with pytest.raises(ValueError, match="ring_sym"):
+        SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,), comm="ring")
+    SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,), comm="ring_sym")
+    SimConfig(n=96, backend="sym", mesh_shape=(8,), comm="ring_sym")

@@ -99,7 +99,8 @@ def test_dispatch_and_config():
     scale = max(float(np.abs(np.asarray(ref)).max()), 1.0)
     np.testing.assert_allclose(np.asarray(f), np.asarray(ref),
                                rtol=RTOL, atol=ATOL_SCALE * scale)
-    with pytest.raises(ValueError, match="single-chip"):
+    with pytest.raises(ValueError, match="ring_sym"):
+        # sym_mxu + mesh is only valid under the symmetric half-ring
         SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,))
     with pytest.raises(ValueError, match="same array object"):
         body_force(s.pos, s.pos + 0.0, backend="sym_mxu", interpret=INTERP)
@@ -153,3 +154,34 @@ def test_tpu_split_kills_cancellation_tails():
     errw = np.linalg.norm(fw - ref, axis=1) / rn
     assert np.median(errw) < 1e-4, "w-split inactive (Mosaic folded astype?)"
     assert np.percentile(errw, 99) < 2e-3
+
+
+def test_pair_mxu_matches_rect_oracle():
+    from tests.conftest import oracle_force_rect
+    from mini_nbody_tpu.ops.sym_mxu_force import body_force_pair_mxu
+
+    for na, nb, masses in [(200, 136, False), (130, 200, True),
+                           (64, 64, True)]:
+        sa = init.plummer(jax.random.key(na), na)
+        sb = init.plummer(jax.random.key(nb + 1), nb)
+        ma = sa.mass if masses else None
+        mb = sb.mass if masses else None
+        fa, fb = body_force_pair_mxu(sa.pos, sb.pos, ma, mb,
+                                     softening=1e-2, tile=64,
+                                     interpret=INTERP)
+        ra = oracle_force_rect(sa.pos, sb.pos, mb, softening=1e-2)
+        rb = oracle_force_rect(sb.pos, sa.pos, ma, softening=1e-2)
+        scale = max(np.abs(ra).max(), np.abs(rb).max())
+        tol = 1e-5 if INTERP else 5e-3
+        np.testing.assert_allclose(np.asarray(fa), ra, rtol=tol,
+                                   atol=tol * scale)
+        np.testing.assert_allclose(np.asarray(fb), rb, rtol=tol,
+                                   atol=tol * scale)
+
+
+def test_pair_mxu_mass_mismatch_raises():
+    from mini_nbody_tpu.ops.sym_mxu_force import body_force_pair_mxu
+
+    s = init.plummer(jax.random.key(1), 64)
+    with pytest.raises(ValueError, match="both masses or neither"):
+        body_force_pair_mxu(s.pos, s.pos, s.mass, None, interpret=INTERP)
