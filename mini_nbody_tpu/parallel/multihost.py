@@ -6,9 +6,14 @@ The reference is strictly single-chip; scale-out across hosts is new work
 the same 1-D body mesh (parallel.mesh) spans all slices — XLA routes
 collectives over ICI within a slice and DCN between slices automatically.
 
-This module is a thin, testable wrapper: real multi-host runs aren't possible
-in a single-chip environment, so it no-ops gracefully there (and the sharded
-step is validated on the virtual CPU mesh instead).
+This module is a thin, testable wrapper. Real multi-host TPU runs aren't
+possible in a single-chip environment, but the full multi-PROCESS runtime
+path (coordinator handshake, global device list, cross-process collectives)
+is exercised for real by examples/multihost_cpu.py: two+ localhost processes
+with gloo CPU collectives run a ring_sym trajectory whose every ppermute hop
+crosses the process boundary (gated by
+tests/test_parallel.py::test_two_process_distributed_cpu). Without a
+distributed env configured, initialize() no-ops gracefully.
 """
 
 from __future__ import annotations

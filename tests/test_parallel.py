@@ -311,3 +311,22 @@ def test_sym_backend_requires_ring_sym_on_mesh():
         SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,), comm="ring")
     SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,), comm="ring_sym")
     SimConfig(n=96, backend="sym", mesh_shape=(8,), comm="ring_sym")
+
+
+def test_two_process_distributed_cpu():
+    """REAL multi-process jax.distributed on localhost (config 5's
+    multi-host axis, as far as a single-host env allows): coordinator
+    handshake, gloo CPU collectives, a ring_sym trajectory whose every
+    ppermute hop crosses the process boundary, gathered and checked against
+    a single-device run inside each worker (examples/multihost_cpu.py)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parents[1] / "examples" / "multihost_cpu.py"
+    res = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=280,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "multihost OK: 2 processes" in res.stdout
