@@ -48,6 +48,10 @@ def _add_common(p):
                    help="fold the Euler integrate into the direct kernel's "
                         "epilogue (requires --backend pallas, euler, "
                         "single chip; measured +0.7%%)")
+    p.add_argument("--split-w", action="store_true",
+                   help="sym_mxu accuracy mode: compensate the bf16 pair-"
+                        "weight rounding with a second lo-pass matmul "
+                        "(~1e-5-class error at ~306 GInter/s)")
 
 
 def _parse_mesh(devices):
@@ -67,6 +71,7 @@ def _build(args):
         comm=args.comm,
         mesh_shape=_parse_mesh(args.devices),
         fused_integrate=args.fused_integrate,
+        split_w=args.split_w,
         # uniform init has unit masses (reference semantics -> fast path);
         # plummer/cold_sphere carry per-body masses.
         use_masses=args.init != "uniform",

@@ -23,6 +23,7 @@ def body_force(
     tile_j: int = 1024,
     interpret: bool = False,
     pair_dtype=jnp.float32,
+    split_w: bool = False,
 ):
     """Forces on pos_i (Ni,3) from sources (pos_j, mass_j). Returns (Ni,3) fp32.
 
@@ -73,6 +74,7 @@ def body_force(
 
             return body_force_sym_mxu(
                 pos_i, mass_j, softening=softening, interpret=interpret,
+                split_w=split_w,
             )
         from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
 
@@ -96,6 +98,7 @@ def make_force_fn(cfg: SimConfig):
             softening=cfg.softening, backend=backend,
             tile_i=cfg.tile_i, tile_j=cfg.tile_j,
             interpret=interpret, pair_dtype=pair_dtype,
+            split_w=cfg.split_w,
         )
 
     return force

@@ -116,9 +116,12 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
         # bf16-accumulate with the compensated operand split); everything
         # else runs the fp32-exact VPU pair kernel.
         if backend in ("mxu", "sym_mxu"):
-            from mini_nbody_tpu.ops.sym_mxu_force import (
-                body_force_pair_mxu as pair_kernel,
-                body_force_sym_mxu as self_kernel)
+            from mini_nbody_tpu.ops import sym_mxu_force
+
+            pair_kernel = partial(sym_mxu_force.body_force_pair_mxu,
+                                  split_w=cfg.split_w)
+            self_kernel = partial(sym_mxu_force.body_force_sym_mxu,
+                                  split_w=cfg.split_w)
         else:
             from mini_nbody_tpu.ops.symmetric_force import (
                 body_force_pair as pair_kernel,

@@ -82,6 +82,12 @@ class SimConfig:
         False = unit masses (reference semantics, ``src/fxyz.vhd:120-127``
         has no mass factor) — enables the kernels' mass-free fast path with
         far-padded tails.
+      split_w: sym_mxu accuracy knob — compensate the bf16 rounding of the
+        pair-weight matrix with a second lo-pass matmul (~1e-5-class force
+        error at ~306 GInter/s vs ~1e-4 at 413; see
+        benchmarks/RESULTS.md "Compensated bf16 operand splits"). The
+        accuracy record for mass systems; unit-mass systems are better
+        served by the fp32-exact 'sym'. Ignored by other backends.
       fused_integrate: fold the Euler integrate into the direct kernel's
         epilogue (ops/pallas_force.euler_step_fused) — the blueprint's
         SURVEY §7 step 2. Measured +0.7% at N=1M on the pallas backend (the
@@ -104,6 +110,7 @@ class SimConfig:
     interpret: Optional[bool] = None
     use_masses: bool = False
     fused_integrate: bool = False
+    split_w: bool = False
 
     def __post_init__(self):
         if self.n <= 0:

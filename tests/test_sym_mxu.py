@@ -185,3 +185,22 @@ def test_pair_mxu_mass_mismatch_raises():
     s = init.plummer(jax.random.key(1), 64)
     with pytest.raises(ValueError, match="both masses or neither"):
         body_force_pair_mxu(s.pos, s.pos, s.mass, None, interpret=INTERP)
+
+
+def test_split_w_config_threads_through():
+    from mini_nbody_tpu import SimConfig
+    from mini_nbody_tpu.sim import make_step_fn
+    from mini_nbody_tpu.models import init as minit
+
+    n = 128
+    cfg = SimConfig(n=n, dt=1e-3, softening=1e-2, backend="sym_mxu",
+                    use_masses=True, split_w=True)
+    s = minit.plummer(jax.random.key(4), n)
+    acc = jnp.zeros_like(s.pos)
+    out, _ = make_step_fn(cfg)((s, acc))
+    ref = body_force_jnp(s.pos, s.pos, s.mass, softening=1e-2)
+    # one euler step: v' = v + dt*F; x' = x + dt*v'
+    want = np.asarray(s.pos + cfg.dt * (s.vel + cfg.dt * ref))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(out.pos), want,
+                               rtol=RTOL, atol=ATOL_SCALE * scale)
