@@ -115,8 +115,11 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
     backend, non-differentiable) into a custom-VJP differentiable function.
 
     Forward runs the kernel; backward is the analytic pairwise VJP —
-    either chunked jnp (backward="jnp"; portable, memory-bound) or the
-    Pallas backward kernels (backward="pallas"; ops/vjp_kernel.py).
+    chunked jnp (backward="jnp"; portable, memory-bound), the fp32 Pallas
+    backward kernels (backward="pallas"; ops/vjp_kernel.py), or the
+    bf16-accumulate MXU hybrid (backward="mxu"; ops/vjp_mxu.py — matches
+    the error class of the sym_mxu/mxu forwards and is ~2x faster than the
+    fp32 symmetric backward).
     Gradients flow to pos; with mass_grad=True also to the per-body masses
     (dF_j/dm_k = w d_jk, ~2 extra ops/pair), otherwise the mass cotangent
     is zero (mass treated as a static property)."""
@@ -133,8 +136,21 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
 
     def _bwd(res, g):
         pos, mass = res
-        if backward == "pallas" and (not mass_grad
-                                     or pos.shape[0] <= 131072):
+        if backward == "mxu" and pos.shape[0] <= 131072:
+            # Single-launch bound: the (ko, N) VMEM reaction buffer, same
+            # class as vjp_pos_sym; the fp32 ordered kernel covers beyond.
+            from mini_nbody_tpu.ops.vjp_mxu import vjp_pos_sym_mxu
+
+            out = vjp_pos_sym_mxu(
+                pos, g, None if unit_mass else mass,
+                softening=softening, interpret=interpret,
+                mass_grad=mass_grad,
+            )
+            if mass_grad:
+                return out
+            return out, jnp.zeros_like(mass)
+        if backward in ("pallas", "mxu") and (not mass_grad
+                                              or pos.shape[0] <= 131072):
             from mini_nbody_tpu.ops.vjp_kernel import (
                 vjp_pos_pallas, vjp_pos_sym)
 
@@ -192,7 +208,15 @@ def make_differentiable_force(cfg, mass_grad: bool = False):
     def impl(pos, mass):
         return inner(pos, pos, mass)
 
-    backward = "jnp" if cfg.effective_backend() == "jnp" else "pallas"
+    eff = cfg.effective_backend()
+    if eff == "jnp":
+        backward = "jnp"
+    elif eff in ("sym_mxu", "mxu"):
+        # bf16-accumulate forward -> matching bf16-class MXU backward
+        # (~2x the fp32 symmetric backward; ops/vjp_mxu.py).
+        backward = "mxu"
+    else:
+        backward = "pallas"
     diff = make_body_force_diff(
         impl, float(cfg.softening), backward=backward,
         interpret=cfg.resolve_interpret(), unit_mass=not cfg.use_masses,

@@ -1,0 +1,282 @@
+"""Symmetric x MXU hybrid BACKWARD kernel: the force-VJP counterpart of
+ops/sym_mxu_force.py.
+
+The fp32 symmetric backward (vjp_kernel.vjp_pos_sym) is VPU-bound at ~50
+VPU ops per unordered pair (measured 128.6 G pair-grads/s on v5e). Like the
+forward, most of those ops are w-weighted accumulations that factor into
+matmuls. With d = p_b - p_a, s = |d|^2 + eps, w = s^-3/2, u = s^-5/2, the
+pair's gradient contribution to pos_bar_a (and -1x to pos_bar_b) is
+
+    t = w (m_a g_b - m_b g_a) + c d,    c = 3 u (m_b (g_a.d) - m_a (g_b.d))
+
+(ops/vjp_kernel.py derivation). Only the SCALARS w and c depend on both
+bodies; every sum of t over a tile is two matmuls against per-body operands:
+
+    row side:  S_g = W @ [g | m],  S_p = C @ [p | 1]
+               pos_bar_a += m_a S_g[:, :3] - g_a S_g[:, 3]
+                          +     S_p[:, :3] - p_a S_p[:, 3]
+    reactions: the SAME combine with W^T / C^T sums over a (the minus of
+               the antisymmetric t is baked into the transposed contraction:
+               -t = w (m_b g_a - m_a g_b) + c (p_a - p_b)).
+
+The VPU keeps only the distance + rsqrt + two cotangent dot products
+(~30 op-equivalents per unordered pair vs ~50), and all d-products and
+reductions ride the MXU.
+
+Precision: matmuls run at MXU DEFAULT (single-pass bf16 operands, fp32
+accumulation) with the same error-compensated operand split as the forward
+hybrid — each operand [v | m] is packed as [vhi | mhi | vlo | mlo] (T, 8)
+with vhi = bf16(v) via lax.reduce_precision (sym_mxu_force._pack explains
+why astype round-trips silently no-op under XLA), restoring ~16 effective
+mantissa bits on the operand for free (VMEM lane-pads the minor dim to 128
+either way). Residual error is the ~4e-3-relative bf16 rounding of w and c
+— the same uniform class as the forward hybrid, gated by the same style of
+tests. Use vjp_pos_sym for fp32-exact gradients.
+
+Self/coincident pairs are masked on the pre-softening |d|^2 == 0 exactly as
+in every other backend (the eps^-1.5 self weight otherwise swamps fp32).
+
+Structure: identical diagonal-band traversal, whole-buffer constant-index
+reaction output and tail handling as vjp_pos_sym; single-chunk (the backward
+runs at trajectory-optimization sizes). mass_grad rides as a 9th output
+column computed on the VPU (2 ops/pair): mass_bar_a = -sum_b w (g_b.d),
+mass_bar_b = +sum_a w (g_a.d).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
+
+_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
+    pltpu, "TPUCompilerParams"
+)
+
+
+def _mm(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _wc_block(pi, pjt, gi, gjt, softening, masses, mass_grad):
+    """Per-pair scalars for one (i-tile, j-tile) block: returns
+    (w, c[, mrow (T,1), mcolT (1,T)]) — everything the matmuls need."""
+    dx = pjt[0:1, :] - pi[:, 0:1]
+    dy = pjt[1:2, :] - pi[:, 1:2]
+    dz = pjt[2:3, :] - pi[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
+    s = d2 + jnp.asarray(softening, dx.dtype)
+    inv = jax.lax.rsqrt(s)
+    inv2 = inv * inv
+    w = inv2 * inv
+    u = w * inv2
+    zero = d2 == 0.0
+    w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
+    u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
+
+    dot_a = gi[:, 0:1] * dx + gi[:, 1:2] * dy + gi[:, 2:3] * dz
+    dot_b = gjt[0:1, :] * dx + gjt[1:2, :] * dy + gjt[2:3, :] * dz
+    if masses:
+        c = 3.0 * (u * (pjt[3:4, :] * dot_a - pi[:, 3:4] * dot_b))
+    else:
+        c = 3.0 * (u * (dot_a - dot_b))
+    if not mass_grad:
+        return w, c, None, None
+    wda = w * dot_a
+    return (w, c,
+            -jnp.sum(w * dot_b, axis=1, keepdims=True),
+            jnp.sum(wda, axis=0, keepdims=True))
+
+
+def _row_sums(w, c, qj, mrow):
+    """(T, 8 or 9) row-side sums: ONE (T,2T)@(2T,16) matmul against the
+    block-diagonal operand q = [[A_g, 0], [0, A_p]] computes W@A_g and
+    C@A_p together — the 16 output lanes live in one 128-lane MXU register
+    either way, so merging the two matmuls halves MXU issues for free."""
+    r = _mm(jnp.concatenate([w, c], axis=1), qj, ((1,), (0,)))  # (T, 16)
+    parts = [r[:, 0:4] + r[:, 4:8], r[:, 8:12] + r[:, 12:16]]
+    if mrow is not None:
+        parts.append(mrow)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _col_sums(w, c, qi, mcolT):
+    """(8 or 9, T) reaction-side sums (contraction over the i-tile), same
+    merged block-diagonal matmul as _row_sums."""
+    ct = _mm(qi, jnp.concatenate([w, c], axis=0), ((0,), (0,)))  # (16, T)
+    parts = [ct[0:4, :] + ct[4:8, :], ct[8:12, :] + ct[12:16, :]]
+    if mcolT is not None:
+        parts.append(mcolT)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _bwd_tri_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, qi_ref,
+                    rows_ref, colsT_ref, *,
+                    softening, tile, nb, masses, mass_grad):
+    """Diagonal-band step (structure: vjp_kernel._sym_vjp_tri_kernel).
+    d == 0: ordered row sums cover both pair orders (t is antisymmetric, so
+    row a's sum over the full tile already includes the reaction of every
+    in-tile partner); d > 0: rows accumulate +t sums, the constant-index
+    reaction buffer accumulates the transposed-contraction sums."""
+    i = pl.program_id(0)
+    d = pl.program_id(1)
+    jg = jax.lax.rem(i + d, jnp.int32(nb))
+
+    @pl.when(jnp.logical_and(d == 0, i == 0))
+    def _zero_cols():
+        colsT_ref[:] = jnp.zeros_like(colsT_ref)
+
+    active = jnp.logical_or(d * 2 != nb, i * 2 < nb)
+
+    @pl.when(active)
+    def _work():
+        w, c, mrow, mcolT = _wc_block(
+            pi_ref[:], pjt_ref[:], gi_ref[:], gjt_ref[:], softening,
+            masses, mass_grad)
+        rows = _row_sums(w, c, qj_ref[:], mrow)
+
+        @pl.when(d == 0)
+        def _rows_init():
+            rows_ref[:] = rows
+
+        @pl.when(d > 0)
+        def _rows_acc():
+            rows_ref[:] = rows_ref[:] + rows
+
+        @pl.when(d > 0)
+        def _cols():
+            ct = _col_sums(w, c, qi_ref[:], mcolT)
+            cj = pl.ds(jg * tile, tile)
+            colsT_ref[:, cj] = colsT_ref[:, cj] + ct
+
+
+def _split8(v):
+    """Compensated [vhi | vlo] operand (sym_mxu_force._pack rationale):
+    hi half MUST come from lax.reduce_precision, not an astype round-trip."""
+    vhi = jax.lax.reduce_precision(v, 8, 7)
+    return jnp.concatenate([vhi, v - vhi], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret", "mass_grad"),
+)
+def vjp_pos_sym_mxu(
+    pos,
+    g,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int = 512,
+    interpret: bool = False,
+    mass_grad: bool = False,
+):
+    """pos_bar for cotangent g of the square self-force via the MXU hybrid
+    backward (module docstring): each unordered pair's w, c computed ONCE on
+    the VPU, all accumulations as bf16-operand/fp32-accumulate matmuls with
+    the compensated operand split. bf16-rounding error class (~4e-3 relative
+    per pair, uniform); use vjp_pos_sym for fp32-exact.
+
+    mass_grad=True (mass mode) also returns mass_bar: (pos_bar, mass_bar).
+    """
+    if mass_grad and mass is None:
+        raise ValueError("mass_grad=True requires per-body masses")
+    n = pos.shape[0]
+    masses = mass is not None
+    pos = pos.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+
+    tile = min(tile, round_up(n, 8))
+    if not interpret and tile < round_up(n, 8):
+        tile = round_up(tile, 128)
+    np_ = round_up(n, tile)
+    if np_ != n:
+        pad = np_ - n
+        # FAR-padded tails: w and c underflow to 0 against every real body,
+        # and FAR-vs-FAR pairs hit the |d|^2 == 0 coincidence mask.
+        pos = jnp.pad(pos, ((0, pad), (0, 0)), constant_values=FAR)
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        if masses:
+            mass = jnp.pad(mass.astype(jnp.float32), (0, pad))
+    if masses:
+        m = mass.astype(jnp.float32)
+        p = jnp.concatenate([pos, m[:, None]], axis=1)
+    else:
+        m = jnp.ones((np_,), jnp.float32)
+        p = pos
+    k = p.shape[1]
+    a_g = _split8(jnp.concatenate([g, m[:, None]], axis=1))
+    a_p = _split8(
+        jnp.concatenate([pos, jnp.ones((np_, 1), jnp.float32)], axis=1))
+
+    nb = np_ // tile
+    # Per-block block-diagonal operand q (2*tile, 16): [[A_g, 0], [0, A_p]]
+    # for each tile, laid out as (2*np_, 16) so a (2*tile, 16) BlockSpec at
+    # index j selects block j's diagonal pair (_row_sums rationale).
+    zeros8 = jnp.zeros_like(a_g)
+    q = jnp.concatenate([
+        jnp.concatenate([a_g, zeros8], axis=1).reshape(nb, tile, 16),
+        jnp.concatenate([zeros8, a_p], axis=1).reshape(nb, tile, 16),
+    ], axis=1).reshape(2 * np_, 16)
+    nd = nb // 2 + 1
+    vm = pltpu.VMEM
+    ko = 9 if mass_grad else 8
+    pairs = np_ * np_
+
+    def bi(i, d):
+        return (i, 0)
+
+    def bj(i, d):
+        return (jax.lax.rem(i + d, jnp.int32(nb)), 0)
+
+    def bjt(i, d):
+        return (0, jax.lax.rem(i + d, jnp.int32(nb)))
+
+    rows, colsT = pl.pallas_call(
+        functools.partial(_bwd_tri_kernel, softening=float(softening),
+                          tile=tile, nb=nb, masses=masses,
+                          mass_grad=mass_grad),
+        grid=(nb, nd),
+        in_specs=[
+            pl.BlockSpec((tile, k), bi, memory_space=vm),
+            pl.BlockSpec((k, tile), bjt, memory_space=vm),
+            pl.BlockSpec((tile, 3), bi, memory_space=vm),
+            pl.BlockSpec((3, tile), bjt, memory_space=vm),
+            pl.BlockSpec((2 * tile, 16), bj, memory_space=vm),
+            pl.BlockSpec((2 * tile, 16), bi, memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, ko), bi, memory_space=vm),
+            pl.BlockSpec((ko, np_), lambda i, d: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, ko), jnp.float32),
+            jax.ShapeDtypeStruct((ko, np_), jnp.float32),
+        ],
+        compiler_params=_CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(30 + 64) * pairs,  # VPU scalars + 4 padded (.,8) matmuls
+            bytes_accessed=np_ * 160,
+            transcendentals=pairs // 2,
+        ),
+        interpret=interpret,
+    )(p, p.T, g, g.T, q, q)
+
+    total = rows + colsT.T
+    sg = total[:, 0:4]
+    sp = total[:, 4:8]
+    pos_bar = (m[:, None] * sg[:, 0:3] - g * sg[:, 3:4]
+               + sp[:, 0:3] - pos * sp[:, 3:4])
+    if mass_grad:
+        return pos_bar[:n], total[:n, 8]
+    return pos_bar[:n]

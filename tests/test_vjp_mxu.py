@@ -1,0 +1,101 @@
+"""MXU-hybrid backward kernel (ops/vjp_mxu.py) vs the analytic jnp VJP.
+
+Interpret mode on CPU is exact fp32 (the compensated [hi|lo] operand split
+sums back losslessly and CPU matmuls are fp32); on real TPU the matmuls run
+single-pass bf16 with the uniform ~4e-3-relative w/c rounding class
+documented in the module docstring and measured in benchmarks/RESULTS.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_nbody_tpu.models import init
+from mini_nbody_tpu.ops.autodiff import _vjp_pos
+from mini_nbody_tpu.ops.vjp_mxu import vjp_pos_sym_mxu
+
+INTERP = jax.default_backend() != "tpu"
+RTOL, ATOL_SCALE = ((1e-4, 1e-4) if INTERP else (2e-2, 5e-3))
+
+
+def _check(n, tile, masses=False, softening=1e-2, init_fn=None):
+    make = init_fn or (init.plummer if masses else init.uniform_random)
+    s = make(jax.random.key(n + 1), n)
+    g = jax.random.normal(jax.random.key(n + 7), (n, 3), jnp.float32)
+    m = s.mass if masses else None
+    out = vjp_pos_sym_mxu(s.pos, g, m, softening=softening, tile=tile,
+                          interpret=INTERP)
+    ref = _vjp_pos(s.pos, g, m if masses else jnp.ones((n,), jnp.float32),
+                   softening)
+    out, ref = np.asarray(out), np.asarray(ref)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL_SCALE * scale)
+
+
+def test_unit_mass_single_band():
+    _check(256, 64)
+
+
+def test_unit_mass_default_softening_coincident_mask():
+    _check(256, 64, softening=1e-9)
+
+
+def test_ragged_tail_far_padding():
+    _check(300, 64, softening=1e-9)
+
+
+def test_even_block_count_wrap_band():
+    _check(512, 64)
+
+
+def test_mass_mode_plummer():
+    _check(256, 64, masses=True)
+
+
+def test_mass_mode_two_cluster():
+    _check(200, 64, masses=True, init_fn=init.two_cluster)
+
+
+def test_mass_mode_ragged():
+    _check(300, 64, masses=True, softening=1e-9)
+
+
+def test_mass_grad():
+    n = 256
+    s = init.plummer(jax.random.key(1), n)
+    g = jax.random.normal(jax.random.key(2), (n, 3), jnp.float32)
+    pout, mout = vjp_pos_sym_mxu(s.pos, g, s.mass, softening=1e-2, tile=64,
+                                 interpret=INTERP, mass_grad=True)
+    pref, mref = _vjp_pos(s.pos, g, s.mass, 1e-2, with_mass_grad=True)
+    pscale = max(np.abs(np.asarray(pref)).max(), 1.0)
+    mscale = max(np.abs(np.asarray(mref)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(pout), np.asarray(pref),
+                               rtol=RTOL, atol=ATOL_SCALE * pscale)
+    np.testing.assert_allclose(np.asarray(mout), np.asarray(mref),
+                               rtol=RTOL, atol=ATOL_SCALE * mscale)
+
+
+def test_mass_grad_requires_masses():
+    pos = init.uniform_random(jax.random.key(0), 64).pos
+    g = jnp.zeros((64, 3), jnp.float32)
+    with pytest.raises(ValueError):
+        vjp_pos_sym_mxu(pos, g, mass_grad=True, interpret=INTERP)
+
+
+def test_zero_cotangent_zero_grad():
+    pos = init.uniform_random(jax.random.key(0), 128).pos
+    out = vjp_pos_sym_mxu(pos, jnp.zeros((128, 3), jnp.float32), tile=64,
+                          interpret=INTERP)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_translation_invariance():
+    # The pairwise gradient is antisymmetric: the total over all bodies of
+    # pos_bar vanishes for any cotangent (momentum-conservation analog).
+    n = 256
+    s = init.uniform_random(jax.random.key(9), n)
+    g = jax.random.normal(jax.random.key(10), (n, 3), jnp.float32)
+    out = np.asarray(vjp_pos_sym_mxu(s.pos, g, tile=64, interpret=INTERP))
+    scale = np.abs(out).max() * n
+    assert np.abs(out.sum(axis=0)).max() < 1e-5 * scale
