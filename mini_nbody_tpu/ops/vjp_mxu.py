@@ -159,11 +159,41 @@ def _bwd_tri_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, qi_ref,
             colsT_ref[:, cj] = colsT_ref[:, cj] + ct
 
 
+def _bwd_rect_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, rows_ref, *,
+                     softening, masses):
+    """Rectangular backward step: ONLY the row-side sums for the local
+    receivers (the ordered VJP formula factors into exactly the rows half
+    of the symmetric backward — see vjp_rect_mxu). j streams via
+    consecutive output-block revisits."""
+    j = pl.program_id(1)
+    w, c, _, _ = _wc_block(pi_ref[:], pjt_ref[:], gi_ref[:], gjt_ref[:],
+                           softening, masses, mass_grad=False)
+    rows = _row_sums(w, c, qj_ref[:], None)
+
+    @pl.when(j == 0)
+    def _init():
+        rows_ref[:] = rows
+
+    @pl.when(j > 0)
+    def _acc():
+        rows_ref[:] = rows_ref[:] + rows
+
+
 def _split8(v):
     """Compensated [vhi | vlo] operand (sym_mxu_force._pack rationale):
     hi half MUST come from lax.reduce_precision, not an astype round-trip."""
     vhi = jax.lax.reduce_precision(v, 8, 7)
     return jnp.concatenate([vhi, v - vhi], axis=1)
+
+
+def _blockdiag_q(a_g, a_p, nblk, tile):
+    """(2*N, 16) per-block block-diagonal operand [[A_g, 0], [0, A_p]]
+    (_row_sums rationale)."""
+    zeros8 = jnp.zeros_like(a_g)
+    return jnp.concatenate([
+        jnp.concatenate([a_g, zeros8], axis=1).reshape(nblk, tile, 16),
+        jnp.concatenate([zeros8, a_p], axis=1).reshape(nblk, tile, 16),
+    ], axis=1).reshape(2 * nblk * tile, 16)
 
 
 @functools.partial(
@@ -218,14 +248,7 @@ def vjp_pos_sym_mxu(
         jnp.concatenate([pos, jnp.ones((np_, 1), jnp.float32)], axis=1))
 
     nb = np_ // tile
-    # Per-block block-diagonal operand q (2*tile, 16): [[A_g, 0], [0, A_p]]
-    # for each tile, laid out as (2*np_, 16) so a (2*tile, 16) BlockSpec at
-    # index j selects block j's diagonal pair (_row_sums rationale).
-    zeros8 = jnp.zeros_like(a_g)
-    q = jnp.concatenate([
-        jnp.concatenate([a_g, zeros8], axis=1).reshape(nb, tile, 16),
-        jnp.concatenate([zeros8, a_p], axis=1).reshape(nb, tile, 16),
-    ], axis=1).reshape(2 * np_, 16)
+    q = _blockdiag_q(a_g, a_p, nb, tile)
     nd = nb // 2 + 1
     vm = pltpu.VMEM
     ko = 9 if mass_grad else 8
@@ -280,3 +303,122 @@ def vjp_pos_sym_mxu(
     if mass_grad:
         return pos_bar[:n], total[:n, 8]
     return pos_bar[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret"),
+)
+def vjp_rect_mxu(
+    pos_k,
+    g_k,
+    pos_j,
+    g_j,
+    mass_k=None,
+    mass_j=None,
+    softening: float = SOFTENING,
+    tile: int = 768,
+    interpret: bool = False,
+):
+    """pos_bar rows for a RECTANGULAR slice of the square self-force VJP via
+    the MXU hybrid — the bf16-class counterpart of vjp_kernel.vjp_pos_rect
+    (per-shard backward of a mesh-sharded force: local receivers (pos_k,
+    g_k) against the gathered/visiting sources (pos_j, g_j)).
+
+    The ordered VJP formula factors into exactly the rows half of the
+    symmetric backward: with the same per-pair scalars w and
+    c = 3 u (m_j (g_k.d) - m_k (g_j.d)),
+
+        pos_bar_k = m_k S_g[:, :3] - g_k S_g[:, 3]
+                  +     S_p[:, :3] - p_k S_p[:, 3],
+        [S_g | S_p] = [w | c] @ [[A_g, 0], [0, A_p]],  A_g = [g_j | m_j],
+                                                       A_p = [p_j | 1]
+
+    so the kernel is the tri kernel minus the reaction buffer, on a full
+    rectangular grid. pos_k must be a subset of pos_j's system for the
+    result to be a true gradient slice (the coincident-pair mask absorbs
+    k's own appearance in the sources). Masses optional (both or neither).
+    """
+    if (mass_k is None) != (mass_j is None):
+        raise ValueError("vjp_rect_mxu needs both masses or neither")
+    nk, nj = pos_k.shape[0], pos_j.shape[0]
+    masses = mass_k is not None
+    pos_k = pos_k.astype(jnp.float32)
+    g_k = g_k.astype(jnp.float32)
+    pos_j = pos_j.astype(jnp.float32)
+    g_j = g_j.astype(jnp.float32)
+
+    tile_k = min(tile, round_up(nk, 8))
+    tile_j = min(tile, round_up(nj, 8))
+    if not interpret:
+        if tile_k < round_up(nk, 8):
+            tile_k = round_up(tile_k, 128)
+        if tile_j < round_up(nj, 8):
+            tile_j = round_up(tile_j, 128)
+    nk_p = round_up(nk, tile_k)
+    nj_p = round_up(nj, tile_j)
+
+    if nk_p != nk:
+        pad = nk_p - nk
+        pos_k = jnp.pad(pos_k, ((0, pad), (0, 0)), constant_values=FAR)
+        g_k = jnp.pad(g_k, ((0, pad), (0, 0)))
+        if masses:
+            mass_k = jnp.pad(mass_k.astype(jnp.float32), (0, pad))
+    if nj_p != nj:
+        pad = nj_p - nj
+        # FAR-padded sources: w and c underflow against every receiver.
+        pos_j = jnp.pad(pos_j, ((0, pad), (0, 0)), constant_values=FAR)
+        g_j = jnp.pad(g_j, ((0, pad), (0, 0)))
+        if masses:
+            mass_j = jnp.pad(mass_j.astype(jnp.float32), (0, pad))
+
+    if masses:
+        mk = mass_k.astype(jnp.float32)
+        mj = mass_j.astype(jnp.float32)
+        pk = jnp.concatenate([pos_k, mk[:, None]], axis=1)
+        pjt = jnp.concatenate([pos_j.T, mj[None, :]], axis=0)
+    else:
+        mk = jnp.ones((nk_p,), jnp.float32)
+        mj = jnp.ones((nj_p,), jnp.float32)
+        pk = pos_k
+        pjt = pos_j.T
+    k = pk.shape[1]
+    a_g = _split8(jnp.concatenate([g_j, mj[:, None]], axis=1))
+    a_p = _split8(
+        jnp.concatenate([pos_j, jnp.ones((nj_p, 1), jnp.float32)], axis=1))
+    q = _blockdiag_q(a_g, a_p, nj_p // tile_j, tile_j)
+
+    grid = (nk_p // tile_k, nj_p // tile_j)
+    pairs = nk_p * nj_p
+    vm = pltpu.VMEM
+    rows = pl.pallas_call(
+        functools.partial(_bwd_rect_kernel, softening=float(softening),
+                          masses=masses),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_k, k), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((k, tile_j), lambda i, j: (0, j), memory_space=vm),
+            pl.BlockSpec((tile_k, 3), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, tile_j), lambda i, j: (0, j), memory_space=vm),
+            pl.BlockSpec((2 * tile_j, 16), lambda i, j: (j, 0),
+                         memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((tile_k, 8), lambda i, j: (i, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((nk_p, 8), jnp.float32),
+        compiler_params=_CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(30 + 32) * pairs,
+            bytes_accessed=(nk_p + nj_p) * 80,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(pk, pjt, g_k, g_j.T, q)
+
+    sg = rows[:, 0:4]
+    sp = rows[:, 4:8]
+    pos_bar = (mk[:, None] * sg[:, 0:3] - g_k * sg[:, 3:4]
+               + sp[:, 0:3] - pos_k * sp[:, 3:4])
+    return pos_bar[:nk]

@@ -63,10 +63,16 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
     configured exchange. Signature matches ops.integrators.ForceFn."""
     backend = cfg.resolve_backend()
     interpret = cfg.resolve_interpret()
+    # The symmetric kernels compute square self-forces only; cross-shard
+    # exchanges (all_gather, ring cross hops, grid) are rectangular, so
+    # those route to the same-precision-class streaming kernel (the
+    # half-ring comm='ring_sym' is the one that keeps cross-shard pairs on
+    # the symmetric kernels — each pair once).
+    rect_backend = {"sym": "pallas", "sym_mxu": "mxu"}.get(backend, backend)
     kern = partial(
         body_force,
         softening=cfg.softening,
-        backend=backend,
+        backend=rect_backend,
         tile_i=cfg.tile_i,
         tile_j=cfg.tile_j,
         interpret=interpret,
@@ -170,19 +176,27 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
     perm = [(k, (k + 1) % n_shards) for k in range(n_shards)]
 
     # Hop 0 computes the shard against itself — a square self force, eligible
-    # for the symmetric kernel (each pair once, ~1.7x the direct kernel on
+    # for the symmetric kernels (each pair once, ~1.7x the direct kernel on
     # that 1/P slice of the work; mass or unit-mass). Also used under the mxu
     # backend: it is both faster and more accurate than the bf16-accumulate
-    # matmul the user opted into for the cross hops.
+    # matmul the user opted into for the cross hops. Under sym_mxu the self
+    # hop keeps the hybrid (the fastest kernel, same error class).
     use_sym_self = backend in ("pallas", "sym", "mxu")
 
     def self_force(pos_local, mass_local):
+        m = mass_local if cfg.use_masses else None
+        if backend == "sym_mxu":
+            from mini_nbody_tpu.ops.sym_mxu_force import body_force_sym_mxu
+
+            return body_force_sym_mxu(
+                pos_local, m, softening=cfg.softening, interpret=interpret,
+                split_w=cfg.split_w,
+            )
         if use_sym_self:
             from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
 
             return body_force_symmetric(
-                pos_local, mass_local if cfg.use_masses else None,
-                softening=cfg.softening, interpret=interpret
+                pos_local, m, softening=cfg.softening, interpret=interpret
             )
         return kern(pos_local, pos_local, mass_local)
 
@@ -222,6 +236,7 @@ def _make_local_diff_force(cfg: SimConfig, n_shards: int):
     visiting sources. Gradients flow to positions only (mass cotangent 0,
     matching ops/autodiff.make_body_force_diff)."""
     from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_rect
+    from mini_nbody_tpu.ops.vjp_mxu import vjp_rect_mxu
 
     base = _make_local_force(cfg, n_shards)
     interpret = cfg.resolve_interpret()
@@ -229,6 +244,10 @@ def _make_local_diff_force(cfg: SimConfig, n_shards: int):
     soft = float(cfg.softening)
     ring = cfg.comm in ("ring", "ring_sym")
     perm = [(k, (k + 1) % n_shards) for k in range(n_shards)]
+    # bf16-class forward (sym_mxu/mxu) -> matching MXU rect backward;
+    # fp32 forwards keep the fp32 ordered rect kernel (ops/autodiff.py's
+    # routing, applied per shard pair).
+    mxu_bwd = cfg.effective_backend() in ("sym_mxu", "mxu")
 
     @jax.custom_vjp
     def force(pos_local, mass_local):
@@ -238,6 +257,12 @@ def _make_local_diff_force(cfg: SimConfig, n_shards: int):
         return base(pos_local, pos_local, mass_local), (pos_local, mass_local)
 
     def _rect(pos_local, g_local, mass_local, pos_src, g_src, mass_src):
+        if mxu_bwd:
+            return vjp_rect_mxu(
+                pos_local, g_local, pos_src, g_src,
+                mass_local if use_m else None, mass_src if use_m else None,
+                softening=soft, interpret=interpret,
+            )
         return vjp_pos_rect(
             pos_local, g_local, pos_src, g_src,
             mass_local if use_m else None, mass_src if use_m else None,

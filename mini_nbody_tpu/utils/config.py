@@ -54,9 +54,10 @@ class SimConfig:
         AND reaction sums as MXU matmuls — the fastest kernel (413.6
         GInter/s at N=1M on v5e, mass mode same speed) at bf16-accumulate
         accuracy with the compensated operand split (~1e-4 median force
-        error; see ops/sym_mxu_force.py). The pair-once backends shard only
-        under comm='ring_sym' (the exchange that preserves each-pair-once
-        across shards); 'pallas'/'mxu' shard under every comm.
+        error; see ops/sym_mxu_force.py). The pair-once backends shard
+        under every comm: comm='ring_sym' preserves each-pair-once across
+        shards; the rectangular exchanges keep them for the self-shard hop
+        and stream cross-shard work through pallas/mxu respectively.
       pair_dtype: precision knob for the mxu backend's accumulation matmul
         operands ("bfloat16" = single-pass MXU, the throughput mode;
         "float32" = exact contract). Distances are always exact fp32, and
@@ -125,14 +126,11 @@ class SimConfig:
             raise ValueError(
                 f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"
             )
-        if (self.backend in ("sym", "sym_mxu") and self.mesh_shape is not None
-                and self.comm != "ring_sym"):
-            raise ValueError(
-                f"backend {self.backend!r} computes each pair once, which "
-                "only the symmetric half-ring exchange preserves across "
-                "shards; use comm='ring_sym', or backends 'pallas'/'mxu' "
-                "for the rectangular exchanges"
-            )
+        # backend 'sym'/'sym_mxu' under a rectangular exchange (all_gather/
+        # ring/grid) keeps the symmetric kernel for the self-shard hop and
+        # routes cross-shard work to the same-precision-class streaming
+        # kernel (sym -> pallas, sym_mxu -> mxu); only comm='ring_sym'
+        # preserves each-pair-once ACROSS shards (parallel/sharded.py).
         if self.comm not in ("all_gather", "ring", "ring_sym", "grid"):
             raise ValueError(
                 "comm must be 'all_gather', 'ring', 'ring_sym' or 'grid', "

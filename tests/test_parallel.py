@@ -306,11 +306,14 @@ def test_ring_sym_mxu_backend(p, use_masses):
     )
 
 
-def test_sym_backend_requires_ring_sym_on_mesh():
-    with pytest.raises(ValueError, match="ring_sym"):
-        SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,), comm="ring")
+def test_sym_backend_shards_under_every_comm():
+    # The old restriction (sym backends only under comm='ring_sym' on a
+    # mesh) is lifted: rectangular comms route cross-shard work to the
+    # same-precision-class streaming kernel (parallel/sharded.py), so these
+    # configs are all valid now.
+    SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,), comm="ring")
     SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,), comm="ring_sym")
-    SimConfig(n=96, backend="sym", mesh_shape=(8,), comm="ring_sym")
+    SimConfig(n=96, backend="sym", mesh_shape=(8,), comm="all_gather")
 
 
 def test_two_process_distributed_cpu():
@@ -330,3 +333,68 @@ def test_two_process_distributed_cpu():
     )
     assert res.returncode == 0, res.stdout + res.stderr
     assert "multihost OK: 2 processes" in res.stdout
+
+
+@pytest.mark.parametrize("use_masses", [False, True])
+def test_differentiable_sharded_sym_mxu_backend(mesh, use_masses):
+    # bf16-class forward (sym_mxu) routes the sharded backward through the
+    # MXU rect kernel (vjp_rect_mxu); on the CPU mesh interpret mode is
+    # exact fp32, so the grad must match the single-chip differentiable
+    # step to fp32 tolerance.
+    import jax.numpy as jnp
+    from mini_nbody_tpu.models.state import BodyState
+    from mini_nbody_tpu.parallel.sharded import _state_specs
+    from mini_nbody_tpu.sim import make_step_fn
+
+    n = 256
+    s = (init.plummer if use_masses else init.uniform_random)(
+        jax.random.key(37), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=3, backend="sym_mxu", comm="ring",
+                    softening=1e-2, use_masses=use_masses,
+                    tile_i=32, tile_j=128)
+
+    step1 = make_step_fn(cfg, differentiable=True)
+
+    def loss_single(pos0):
+        carry = (BodyState(pos=pos0, vel=s.vel, mass=s.mass),
+                 jnp.zeros_like(pos0))
+        for _ in range(3):
+            carry = step1(carry)
+        return jnp.sum(carry[0].pos ** 2)
+
+    ref = np.asarray(jax.grad(loss_single)(s.pos))
+
+    stepP = make_sharded_step_fn(cfg, mesh, differentiable=True)
+    specs = _state_specs(mesh)
+
+    def loss_sharded(pos0):
+        state = BodyState(pos=pos0, vel=s.vel, mass=s.mass)
+        state = jax.tree_util.tree_map(
+            lambda x, sp: jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(mesh, sp)), state, specs)
+        carry = (state, jnp.zeros_like(pos0))
+        for _ in range(3):
+            carry = stepP(carry)
+        return jnp.sum(carry[0].pos ** 2)
+
+    out = np.asarray(jax.grad(loss_sharded)(s.pos))
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4 * scale)
+
+
+@pytest.mark.parametrize("backend", ["sym", "sym_mxu"])
+def test_square_only_backends_route_rect_comms(mesh, backend):
+    # all_gather/ring exchanges make rectangular force calls, which the
+    # symmetric kernels reject; _make_local_force must route cross-shard
+    # work to the same-precision-class streaming kernel (sym -> pallas,
+    # sym_mxu -> mxu) instead of crashing.
+    n = 256
+    s = init.plummer(jax.random.key(41), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=2, backend=backend,
+                    comm="all_gather", softening=1e-2, use_masses=True)
+    ref = simulate(cfg, s)
+    out = simulate_sharded(cfg, mesh, s)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3,
+        atol=1e-4 * scale)

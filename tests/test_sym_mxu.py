@@ -99,9 +99,9 @@ def test_dispatch_and_config():
     scale = max(float(np.abs(np.asarray(ref)).max()), 1.0)
     np.testing.assert_allclose(np.asarray(f), np.asarray(ref),
                                rtol=RTOL, atol=ATOL_SCALE * scale)
-    with pytest.raises(ValueError, match="ring_sym"):
-        # sym_mxu + mesh is only valid under the symmetric half-ring
-        SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,))
+    # sym_mxu + mesh is valid under every comm: rectangular exchanges route
+    # cross-shard work through the mxu streaming kernel (parallel/sharded).
+    SimConfig(n=96, backend="sym_mxu", mesh_shape=(8,))
     with pytest.raises(ValueError, match="same array object"):
         body_force(s.pos, s.pos + 0.0, backend="sym_mxu", interpret=INTERP)
 

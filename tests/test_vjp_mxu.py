@@ -99,3 +99,32 @@ def test_translation_invariance():
     out = np.asarray(vjp_pos_sym_mxu(s.pos, g, tile=64, interpret=INTERP))
     scale = np.abs(out).max() * n
     assert np.abs(out.sum(axis=0)).max() < 1e-5 * scale
+
+
+@pytest.mark.parametrize("nk,nj,masses", [(128, 256, False), (100, 300, True),
+                                          (256, 256, True)])
+def test_rect_vs_fp32_rect(nk, nj, masses):
+    from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_rect
+    from mini_nbody_tpu.ops.vjp_mxu import vjp_rect_mxu
+
+    make = init.plummer if masses else init.uniform_random
+    s = make(jax.random.key(1), nj)
+    g = jax.random.normal(jax.random.key(2), (nj, 3), jnp.float32)
+    pk, gk = s.pos[:nk], g[:nk]
+    mk, mj = (s.mass[:nk], s.mass) if masses else (None, None)
+    ref = vjp_pos_rect(pk, gk, s.pos, g, mk, mj, softening=1e-2,
+                       interpret=INTERP)
+    out = vjp_rect_mxu(pk, gk, s.pos, g, mk, mj, softening=1e-2, tile=64,
+                       interpret=INTERP)
+    ref, out = np.asarray(ref), np.asarray(out)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL_SCALE * scale)
+
+
+def test_rect_mass_arg_mismatch():
+    pos = init.uniform_random(jax.random.key(0), 64).pos
+    g = jnp.zeros((64, 3), jnp.float32)
+    from mini_nbody_tpu.ops.vjp_mxu import vjp_rect_mxu
+    with pytest.raises(ValueError):
+        vjp_rect_mxu(pos, g, pos, g, mass_k=jnp.ones((64,)),
+                     interpret=INTERP)
