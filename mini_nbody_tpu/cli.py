@@ -252,7 +252,13 @@ def cmd_check(args):
     fmed = float(np.median(err) / scale)
 
     # 2. Conservation over the run.
-    e0 = float(diag.total_energy(state, cfg.softening)) if cfg.n <= 65536 else None
+    # On TPU the Pallas potential-energy kernel makes the energy gate cheap
+    # at any practical N (~4.5 s at N=1M); the chunked-jnp fallback
+    # elsewhere stays bounded.
+    import jax as _jax
+
+    e_cap = (1 << 21) if _jax.default_backend() == "tpu" else 65536
+    e0 = float(diag.total_energy(state, cfg.softening)) if cfg.n <= e_cap else None
     p0 = np.asarray(diag.momentum(state))
     out = simulate(cfg, state)
     p1 = np.asarray(diag.momentum(out))

@@ -128,3 +128,24 @@ def test_rect_mass_arg_mismatch():
     with pytest.raises(ValueError):
         vjp_rect_mxu(pos, g, pos, g, mass_k=jnp.ones((64,)),
                      interpret=INTERP)
+
+
+def test_large_n_mxu_backward_routes_rect_self(monkeypatch):
+    # Beyond the symmetric kernel's single-launch bound the mxu backward
+    # streams j via the rect kernel called square (pos vs pos). Shrink the
+    # bound so the branch runs at test size; the result must match the
+    # analytic jnp VJP.
+    from mini_nbody_tpu.ops import autodiff
+
+    monkeypatch.setattr(autodiff, "_SYM_BWD_MAX", 128)
+    n = 256
+    s = init.uniform_random(jax.random.key(11), n)
+    g0 = jax.random.normal(jax.random.key(12), (n, 3), jnp.float32)
+    diff = autodiff.make_body_force_diff(
+        lambda p, m: jnp.zeros_like(p), 1e-2, backward="mxu",
+        interpret=INTERP, unit_mass=True)
+    out = jax.vjp(diff, s.pos, jnp.ones((n,), jnp.float32))[1](g0)[0]
+    ref = _vjp_pos(s.pos, g0, jnp.ones((n,), jnp.float32), 1e-2)
+    scale = max(np.abs(np.asarray(ref)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=RTOL, atol=ATOL_SCALE * scale)
