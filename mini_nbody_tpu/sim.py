@@ -171,6 +171,62 @@ def _simulate_hostseg(cfg: SimConfig, state: BodyState, steps: int) -> BodyState
     return state
 
 
+def make_rollout_fn(cfg: SimConfig, steps: int, remat: str = "sqrt"):
+    """Differentiable multi-step rollout ``(state, acc) -> (state, acc)``
+    with gradient-checkpointed memory — the HBM-for-FLOPs trade that makes
+    ``jax.grad`` through LONG trajectories fit on chip.
+
+    A naive differentiable scan stores every step's VJP residuals
+    (positions + masses per custom_vjp step: ~16 MB/step at N=1M, so a
+    1000-step adjoint would want ~16 GB of HBM).  remat policies:
+
+      * "none": plain scan; residuals for every step live until the
+        backward pass (fastest backward, O(steps) memory).
+      * "step": each step wrapped in jax.checkpoint — only the per-step
+        carries survive the forward; each step's force recomputes in the
+        backward (O(steps) carries, no residuals).
+      * "sqrt" (default): the scan is split into ~sqrt(steps) checkpointed
+        segments of ~sqrt(steps) steps; the forward keeps one carry per
+        SEGMENT and the backward recomputes one segment at a time —
+        O(sqrt(steps)) live states, one extra forward of compute. The
+        standard recursive-checkpoint sweet spot for trajectory adjoints.
+
+    The rollout composes with jax.grad/jax.vjp like any pure function:
+    ``jax.grad(lambda p: loss(rollout((replace(state, pos=p), acc))))``.
+    """
+    if remat not in ("none", "step", "sqrt"):
+        raise ValueError(f"remat must be 'none', 'step' or 'sqrt', got {remat!r}")
+    step = make_step_fn(cfg, differentiable=True)
+    if remat == "step":
+        step = jax.checkpoint(step)
+
+    def scan_steps(carry, k):
+        def body(c, _):
+            return step(c), None
+
+        return jax.lax.scan(body, carry, None, length=k)[0]
+
+    if remat != "sqrt" or steps <= 2:
+        return partial(scan_steps, k=steps)
+
+    import math
+
+    inner = max(1, math.isqrt(steps))
+    full, rem = divmod(steps, inner)
+    segment = jax.checkpoint(partial(scan_steps, k=inner))
+
+    def rollout(carry):
+        def outer(c, _):
+            return segment(c), None
+
+        carry, _ = jax.lax.scan(outer, carry, None, length=full)
+        if rem:
+            carry = scan_steps(carry, rem)
+        return carry
+
+    return rollout
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps", "save_every"))
 def _trajectory_scan(cfg: SimConfig, carry, steps: int, save_every: int):
     step = make_step_fn(cfg)

@@ -180,3 +180,52 @@ def test_hostseg_simulate_matches_sym(monkeypatch):
                                rtol=1e-6, atol=1e-7 * scale)
     np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
                                rtol=1e-6, atol=1e-6 * scale)
+
+
+class TestRolloutRemat:
+    """make_rollout_fn: checkpointed trajectory adjoints must match the
+    plain differentiable scan exactly (recompute is deterministic)."""
+
+    def _grad(self, remat, steps=10, integrator="leapfrog"):
+        import dataclasses
+
+        from mini_nbody_tpu.sim import init_carry, make_rollout_fn
+
+        n = 64
+        cfg = SimConfig(n=n, dt=1e-3, steps=steps, backend="jnp",
+                        softening=1e-2, use_masses=True,
+                        integrator=integrator)
+        s = init.plummer(jax.random.key(21), n)
+        carry0 = init_carry(cfg, s)
+        roll = make_rollout_fn(cfg, steps, remat=remat)
+
+        def loss(pos0):
+            st = dataclasses.replace(carry0[0], pos=pos0)
+            out, _ = roll((st, carry0[1]))
+            return jnp.sum(out.pos ** 2)
+
+        return np.asarray(jax.grad(loss)(s.pos)), np.asarray(
+            jax.jit(loss)(s.pos))
+
+    def test_sqrt_matches_none(self):
+        g0, l0 = self._grad("none")
+        g1, l1 = self._grad("sqrt")
+        np.testing.assert_allclose(l1, l0, rtol=1e-6)
+        np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-6)
+
+    def test_step_matches_none(self):
+        g0, _ = self._grad("none")
+        g1, _ = self._grad("step")
+        np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-6)
+
+    def test_sqrt_ragged_segments(self):
+        # steps=11 -> inner=3, full=3, rem=2: remainder path
+        g0, _ = self._grad("none", steps=11)
+        g1, _ = self._grad("sqrt", steps=11)
+        np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-6)
+
+    def test_bad_remat(self):
+        from mini_nbody_tpu.sim import make_rollout_fn
+
+        with pytest.raises(ValueError):
+            make_rollout_fn(SimConfig(n=8), 4, remat="bogus")
