@@ -3,9 +3,12 @@
 Optimizes the initial velocity of a probe body so that, after `steps` of
 softened-gravity evolution inside a Plummer cluster, it arrives at a target
 point — gradients flow through the whole trajectory via the analytic force
-VJP (Pallas backward kernel on TPU).
+VJP (Pallas backward kernel on TPU), with the sqrt-checkpointed rollout
+(sim.make_rollout_fn) so long trajectories don't store every step's
+residuals.
 
 Run: python examples/optimize_impact.py [--n 512] [--steps 40] [--iters 60]
+                                        [--remat {sqrt,step,none}]
 """
 
 import argparse
@@ -21,7 +24,7 @@ import optax
 
 from mini_nbody_tpu import SimConfig, init
 from mini_nbody_tpu.models.state import BodyState
-from mini_nbody_tpu.sim import init_carry, make_step_fn
+from mini_nbody_tpu.sim import init_carry, make_rollout_fn
 
 
 def main():
@@ -29,13 +32,15 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--remat", choices=["sqrt", "step", "none"],
+                    default="sqrt")
     args = ap.parse_args()
 
     cfg = SimConfig(n=args.n, dt=5e-3, softening=1e-2,
                     integrator="leapfrog", use_masses=True)
     cluster = init.plummer(jax.random.key(0), args.n)
     target = jnp.asarray([1.2, 0.8, 0.0])
-    step = make_step_fn(cfg, differentiable=True)
+    rollout = make_rollout_fn(cfg, args.steps, remat=args.remat)
 
     def final_probe_pos(v0):
         # probe = body 0 with optimizable initial velocity
@@ -44,9 +49,7 @@ def main():
             vel=cluster.vel.at[0].set(v0),
             mass=cluster.mass,
         )
-        carry = init_carry(cfg, state)
-        for _ in range(args.steps):
-            carry = step(carry)
+        carry = rollout(init_carry(cfg, state))
         return carry[0].pos[0]
 
     @jax.jit
