@@ -289,6 +289,21 @@ def cmd_check(args):
     sys.exit(0 if ok else 1)
 
 
+def cmd_tune(args):
+    from mini_nbody_tpu.utils import autotune
+
+    cfg = _build(args)
+    best = autotune.tune(cfg, reps=args.reps, use_cache=not args.no_cache)
+    print(json.dumps({
+        "backend": cfg.effective_backend(),
+        "n": cfg.n,
+        "sym_tile": best.sym_tile,
+        "tile_i": best.tile_i,
+        "tile_j": best.tile_j,
+        "cache": str(autotune.cache_path()),
+    }))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="nbody-tpu", description="TPU-native N-body engine"
@@ -322,6 +337,13 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--force-tol", type=float, default=1e-4)
     p.set_defaults(fn=cmd_check)
+
+    p = sub.add_parser("tune", help="measure + cache the best kernel tiling")
+    _add_common(p)
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--no-cache", action="store_true",
+                   help="re-measure even if a cached result exists")
+    p.set_defaults(fn=cmd_tune)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -24,6 +24,8 @@ def body_force(
     interpret: bool = False,
     pair_dtype=jnp.float32,
     split_w: bool = False,
+    sym_tile: int | None = None,
+    sym_chunk: int | None = None,
 ):
     """Forces on pos_i (Ni,3) from sources (pos_j, mass_j). Returns (Ni,3) fp32.
 
@@ -68,18 +70,24 @@ def body_force(
         # The symmetric kernels have their own tuned tiling (tile=1024 with
         # 131072-body chunks measured fastest on v5e: 346 vs 250 GInter/s at
         # tile=512); cfg tile_i/tile_j target the streaming kernels, so they
-        # are deliberately not forwarded here.
+        # are deliberately not forwarded here. sym_tile/sym_chunk (set by
+        # hand or by utils/autotune) override the kernel defaults.
+        kw = {}
+        if sym_tile is not None:
+            kw["tile"] = sym_tile
+        if sym_chunk is not None:
+            kw["chunk"] = sym_chunk
         if backend == "sym_mxu":
             from mini_nbody_tpu.ops.sym_mxu_force import body_force_sym_mxu
 
             return body_force_sym_mxu(
                 pos_i, mass_j, softening=softening, interpret=interpret,
-                split_w=split_w,
+                split_w=split_w, **kw,
             )
         from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
 
         return body_force_symmetric(
-            pos_i, mass_j, softening=softening, interpret=interpret,
+            pos_i, mass_j, softening=softening, interpret=interpret, **kw,
         )
     raise ValueError(f"unknown force backend {backend!r}")
 
@@ -99,6 +107,7 @@ def make_force_fn(cfg: SimConfig):
             tile_i=cfg.tile_i, tile_j=cfg.tile_j,
             interpret=interpret, pair_dtype=pair_dtype,
             split_w=cfg.split_w,
+            sym_tile=cfg.sym_tile, sym_chunk=cfg.sym_chunk,
         )
 
     return force

@@ -1,0 +1,157 @@
+"""Measured tile autotuner with a persistent per-device cache.
+
+The kernels ship with measured-best defaults for TPU v5e (tile=1024 /
+chunk=131072 for the symmetric kernels, (512, 2048) for the streaming
+kernels — benchmarks/RESULTS.md), but other TPU generations, problem
+sizes, or future kernels shift the optimum. `tune(cfg)` times one force
+pass per candidate tiling ON THE LIVE BACKEND and returns a SimConfig
+with the winner applied; results persist in a JSON cache keyed by
+(device kind, backend, mass mode, N bucket) so each point is measured
+once per machine.
+
+The reference ships exactly one tiling, frozen at synthesis time
+(num_blocks=12, /root/reference .../top_level.vhd:44); an autotuner is the
+software-framework analog of re-running synthesis for a new part.
+
+CLI: ``python -m mini_nbody_tpu.cli tune --n 1048576 --backend sym_mxu``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+from typing import Callable, Optional
+
+from mini_nbody_tpu.utils.config import SimConfig
+
+#: Candidate tilings per backend family. Symmetric kernels take one square
+#: tile (VMEM-bounded from above); streaming kernels take (tile_i, tile_j).
+SYM_TILES = (512, 768, 896, 1024, 1152)
+STREAM_TILES = ((256, 2048), (512, 1024), (512, 2048), (1024, 1024))
+
+CACHE_ENV = "NBODY_TUNE_CACHE"
+
+
+def cache_path() -> pathlib.Path:
+    env = os.environ.get(CACHE_ENV)
+    if env:
+        return pathlib.Path(env)
+    base = pathlib.Path(os.environ.get(
+        "XDG_CACHE_HOME", pathlib.Path.home() / ".cache"))
+    return base / "mini_nbody_tpu" / "autotune.json"
+
+
+def _load(path: pathlib.Path) -> dict:
+    try:
+        return json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _save(path: pathlib.Path, data: dict) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(data, indent=1, sort_keys=True))
+    tmp.replace(path)
+
+
+def _bucket(n: int) -> int:
+    """Round n up to a power of two: the optimum shifts with scale, not
+    with every individual N."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _key(cfg: SimConfig) -> str:
+    import jax
+
+    device = jax.devices()[0].device_kind.replace(" ", "_")
+    return "|".join([
+        device, cfg.effective_backend(),
+        "mass" if cfg.use_masses else "unit", str(_bucket(cfg.n)),
+    ])
+
+
+def _default_measure(cfg: SimConfig, reps: int) -> float:
+    """Median seconds for one force pass of cfg on the live backend."""
+    import jax
+
+    from mini_nbody_tpu.models import init
+    from mini_nbody_tpu.ops.force import make_force_fn
+    from mini_nbody_tpu.utils.harness import time_fn
+
+    state = init.uniform_random(jax.random.key(0), cfg.n)
+    inner = make_force_fn(cfg)
+    # One pos argument: under an outer jit, passing the same array twice
+    # yields two distinct tracers, which the symmetric backends' square-
+    # self-force identity check (force.py) correctly rejects.
+    force = jax.jit(lambda p, m: inner(p, p, m))
+    mass = state.mass if cfg.use_masses else None
+    return time_fn(force, state.pos, mass, reps=reps, warmup=1)
+
+
+def _candidates(cfg: SimConfig):
+    eff = cfg.effective_backend()
+    if eff in ("sym", "sym_mxu"):
+        return [cfg.replace(sym_tile=t) for t in SYM_TILES]
+    if eff in ("pallas", "mxu"):
+        return [cfg.replace(tile_i=ti, tile_j=tj) for ti, tj in STREAM_TILES]
+    return [cfg]  # jnp: nothing to tune
+
+
+def _params(cfg: SimConfig) -> dict:
+    return {"sym_tile": cfg.sym_tile, "sym_chunk": cfg.sym_chunk,
+            "tile_i": cfg.tile_i, "tile_j": cfg.tile_j}
+
+
+def tune(
+    cfg: SimConfig,
+    reps: int = 2,
+    use_cache: bool = True,
+    measure: Optional[Callable[[SimConfig, int], float]] = None,
+    path: Optional[pathlib.Path] = None,
+) -> SimConfig:
+    """Return cfg with the measured-fastest tiling for its backend applied.
+
+    Candidates that fail to compile (e.g. a tile exceeding VMEM) are
+    skipped. `measure` is injectable for tests; the default times a real
+    force pass. With use_cache, a prior result for the same (device,
+    backend, mass-mode, N-bucket) key is applied without re-measuring.
+    """
+    measure = measure or _default_measure
+    path = path or cache_path()
+    key = _key(cfg)
+    if use_cache:
+        hit = _load(path).get(key)
+        if hit:
+            return cfg.replace(**{k: v for k, v in hit["params"].items()
+                                  if k in _params(cfg)})
+
+    best, best_sec = None, float("inf")
+    results = {}
+    for cand in _candidates(cfg):
+        try:
+            sec = measure(cand, reps)
+        except Exception as e:  # VMEM-exceeded compiles etc.
+            results[json.dumps(_params(cand))] = f"failed: {str(e)[:80]}"
+            continue
+        results[json.dumps(_params(cand))] = sec
+        if sec < best_sec:
+            best, best_sec = cand, sec
+    if best is None:
+        raise RuntimeError(
+            f"autotune: every candidate failed for {key}: {results}")
+
+    if use_cache:
+        data = _load(path)
+        data[key] = {
+            "params": _params(best),
+            "seconds": best_sec,
+            "ginter_s": float(cfg.n) * cfg.n / best_sec / 1e9,
+            "results": results,
+        }
+        _save(path, data)
+    return best

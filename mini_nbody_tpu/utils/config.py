@@ -68,6 +68,10 @@ class SimConfig:
         VPU width).
       tile_j: j-target block streamed per grid step (the analog of the
         1-per-cycle j-stream, ``src/top_level.vhd:233-254``).
+      sym_tile / sym_chunk: tiling overrides for the symmetric kernels
+        (sym / sym_mxu), which otherwise use their own measured-best
+        defaults (tile=1024, chunk=131072 on v5e). Set by utils/autotune
+        or by hand; None = kernel defaults.
       mesh_shape: devices along the body-sharding axis (1-tuple), or the
         (rows, cols) of the 2-D pair-matrix grid for comm='grid'; None =
         single chip.
@@ -106,6 +110,8 @@ class SimConfig:
     pair_dtype: str = "float32"
     tile_i: int = 512
     tile_j: int = 2048
+    sym_tile: Optional[int] = None
+    sym_chunk: Optional[int] = None
     mesh_shape: Optional[Tuple[int, ...]] = None
     comm: str = "all_gather"
     interpret: Optional[bool] = None

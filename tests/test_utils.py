@@ -255,3 +255,76 @@ def test_orbax_checkpoint_sharded_restore(tmp_path):
     assert step == 1
     assert s2.pos.sharding.spec == P("i", None)
     np.testing.assert_array_equal(np.asarray(s2.pos), np.asarray(state.pos))
+
+
+class TestAutotune:
+    def _fake_measure(self, table):
+        calls = []
+
+        def measure(cfg, reps):
+            calls.append(cfg)
+            key = cfg.sym_tile if cfg.effective_backend() in ("sym", "sym_mxu") \
+                else (cfg.tile_i, cfg.tile_j)
+            v = table[key]
+            if v is None:
+                raise RuntimeError("VMEM exceeded (fake)")
+            return v
+
+        return measure, calls
+
+    def test_picks_fastest_sym_tile_and_caches(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        cfg = SimConfig(n=4096, backend="sym_mxu")
+        table = {512: 3.0, 768: 2.0, 896: 1.5, 1024: 1.0, 1152: None}
+        measure, calls = self._fake_measure(table)
+        path = tmp_path / "tune.json"
+        best = autotune.tune(cfg, measure=measure, path=path)
+        assert best.sym_tile == 1024
+        assert len(calls) == len(autotune.SYM_TILES)
+        # cache hit: no re-measure
+        measure2, calls2 = self._fake_measure(table)
+        best2 = autotune.tune(cfg, measure=measure2, path=path)
+        assert best2.sym_tile == 1024 and calls2 == []
+        # different bucket -> fresh measurement
+        autotune.tune(cfg.replace(n=65536), measure=measure2, path=path)
+        assert len(calls2) == len(autotune.SYM_TILES)
+
+    def test_streaming_backend_tunes_tile_pairs(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        cfg = SimConfig(n=4096, backend="pallas")
+        table = {(256, 2048): 2.0, (512, 1024): 1.5, (512, 2048): 1.0,
+                 (1024, 1024): 4.0}
+        measure, _ = self._fake_measure(table)
+        best = autotune.tune(cfg, measure=measure, path=tmp_path / "t.json")
+        assert (best.tile_i, best.tile_j) == (512, 2048)
+
+    def test_all_candidates_fail_raises(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        cfg = SimConfig(n=4096, backend="sym")
+        measure, _ = self._fake_measure({t: None for t in autotune.SYM_TILES})
+        with pytest.raises(RuntimeError):
+            autotune.tune(cfg, measure=measure, path=tmp_path / "t.json")
+
+    def test_sym_tile_threads_into_kernel(self):
+        # cfg.sym_tile must actually reach the symmetric kernels: a
+        # non-default tile still computes correct forces via make_force_fn.
+        import numpy as np
+
+        from mini_nbody_tpu.models import init as minit
+        from mini_nbody_tpu.ops.force import make_force_fn
+        from mini_nbody_tpu.ops.reference import body_force_jnp
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        s = minit.uniform_random(jax.random.key(2), 256)
+        cfg = SimConfig(n=256, backend="sym", softening=1e-2, sym_tile=32,
+                        sym_chunk=128)
+        f = np.asarray(make_force_fn(cfg)(s.pos, s.pos, None))
+        ref = np.asarray(body_force_jnp(s.pos, s.pos, softening=1e-2))
+        np.testing.assert_allclose(f, ref, rtol=1e-4,
+                                   atol=1e-5 * np.abs(ref).max())
