@@ -398,3 +398,52 @@ def test_square_only_backends_route_rect_comms(mesh, backend):
     np.testing.assert_allclose(
         np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-3,
         atol=1e-4 * scale)
+
+
+def test_grid_2d_differentiable_sym_mxu():
+    # Grid comm with the bf16-class backend: forward routes cross-shard
+    # work through the mxu streaming kernel, backward gathers along both
+    # axes and runs the MXU rect VJP kernel. Interpret mode on the CPU
+    # mesh is exact fp32 -> must match the single-chip grad.
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+    from mini_nbody_tpu.models.state import BodyState
+    from mini_nbody_tpu.parallel.sharded import _state_specs
+    from mini_nbody_tpu.sim import make_step_fn
+
+    m = make_mesh((2, 4))
+    n = 256
+    s = init.plummer(jax.random.key(59), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=2, backend="sym_mxu", comm="grid",
+                    softening=1e-2, use_masses=True, mesh_shape=(2, 4),
+                    tile_i=32, tile_j=128)
+
+    step1 = make_step_fn(cfg.replace(mesh_shape=None, comm="all_gather"),
+                         differentiable=True)
+
+    def loss_single(pos0):
+        carry = (BodyState(pos=pos0, vel=s.vel, mass=s.mass),
+                 jnp.zeros_like(pos0))
+        for _ in range(2):
+            carry = step1(carry)
+        return jnp.sum(carry[0].pos ** 2)
+
+    ref = np.asarray(jax.grad(loss_single)(s.pos))
+
+    stepP = make_sharded_step_fn(cfg, m, differentiable=True)
+    specs = _state_specs(m)
+
+    def loss_sharded(pos0):
+        state = BodyState(pos=pos0, vel=s.vel, mass=s.mass)
+        state = jax.tree_util.tree_map(
+            lambda x, sp: jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(m, sp)), state, specs)
+        carry = (state, jnp.zeros_like(pos0))
+        for _ in range(2):
+            carry = stepP(carry)
+        return jnp.sum(carry[0].pos ** 2)
+
+    out = np.asarray(jax.grad(loss_sharded)(s.pos))
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4 * scale)
