@@ -255,7 +255,10 @@ def _epilogue(pos, s_r, s_cT):
 
 def _resolve_tiling(n, tile, chunk, interpret):
     tile = min(tile, round_up(n, 8))
-    if not interpret and tile < round_up(n, 8):
+    if not interpret:
+        # Mosaic requires lane offsets provably 128-aligned: the dynamic
+        # colsT slice at jg*tile only proves when 128 | tile — even for a
+        # single block (n < 128 lane-pads up; FAR tails stay inert).
         tile = round_up(tile, 128)
     nc = max(1, -(-n // chunk))
     c = round_up(-(-n // nc), tile)
@@ -404,14 +407,10 @@ def body_force_pair_mxu(
     if (mass_a is None) != (mass_b is None):
         raise ValueError("body_force_pair_mxu needs both masses or neither")
     na, nb_n = pos_a.shape[0], pos_b.shape[0]
-    tile_a = min(tile, round_up(na, 8))
-    tile_b = min(tile, round_up(nb_n, 8))
+    t = min(tile, round_up(na, 8), round_up(nb_n, 8))
     if not interpret:
-        if tile_a < round_up(na, 8):
-            tile_a = round_up(tile_a, 128)
-        if tile_b < round_up(nb_n, 8):
-            tile_b = round_up(tile_b, 128)
-    t = min(tile_a, tile_b)
+        # 128-align always (_resolve_tiling rationale).
+        t = round_up(t, 128)
     na_p = round_up(na, t)
     nb_p = round_up(nb_n, t)
     pa, _, va = _pack(pos_a, mass_a, na, na_p)

@@ -225,7 +225,9 @@ def vjp_pos_sym_mxu(
     g = g.astype(jnp.float32)
 
     tile = min(tile, round_up(n, 8))
-    if not interpret and tile < round_up(n, 8):
+    if not interpret:
+        # 128-align always: Mosaic must prove the colsT lane offsets
+        # (sym_mxu_force._resolve_tiling rationale).
         tile = round_up(tile, 128)
     np_ = round_up(n, tile)
     if np_ != n:
@@ -351,10 +353,9 @@ def vjp_rect_mxu(
     tile_k = min(tile, round_up(nk, 8))
     tile_j = min(tile, round_up(nj, 8))
     if not interpret:
-        if tile_k < round_up(nk, 8):
-            tile_k = round_up(tile_k, 128)
-        if tile_j < round_up(nj, 8):
-            tile_j = round_up(tile_j, 128)
+        # 128-align always (sym_mxu_force._resolve_tiling rationale).
+        tile_k = round_up(tile_k, 128)
+        tile_j = round_up(tile_j, 128)
     nk_p = round_up(nk, tile_k)
     nj_p = round_up(nj, tile_j)
 

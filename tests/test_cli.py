@@ -81,4 +81,6 @@ def test_bench_hostseg_route(monkeypatch, capsys):
     cli.main(["bench", "--n", "256", "--backend", "sym", "--reps", "1"])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["backend"] == "sym (host-segmented)"
-    assert rep["ginteractions_per_s"] > 0
+    # At n=256 the report's 3-decimal GInter/s legitimately rounds to 0.0
+    # on real TPU (dispatch-overhead-bound); the timing itself must be real.
+    assert rep["seconds"] > 0
