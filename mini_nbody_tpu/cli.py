@@ -36,6 +36,15 @@ def _add_common(p):
                    default="float32")
     p.add_argument("--tile-i", type=int, default=512)
     p.add_argument("--tile-j", type=int, default=2048)
+    p.add_argument("--sym-tile", type=int, default=None,
+                   help="tile override for the symmetric kernels "
+                        "(default: measured-best kernel default)")
+    p.add_argument("--sym-chunk", type=int, default=None,
+                   help="chunk override for the symmetric kernels")
+    p.add_argument("--autotune", action="store_true",
+                   help="apply the autotune cache's best tiling for this "
+                        "device/backend/size (measuring it first if absent; "
+                        "see the `tune` subcommand)")
     p.add_argument("--init", choices=["uniform", "plummer", "cold_sphere", "two_cluster"],
                    default="uniform")
     p.add_argument("--seed", type=int, default=0)
@@ -64,10 +73,12 @@ def _parse_mesh(devices):
 def _build(args):
     from mini_nbody_tpu.utils.config import SimConfig
 
-    return SimConfig(
+    cfg = SimConfig(
         n=args.n, dt=args.dt, steps=args.steps, softening=args.softening,
         integrator=args.integrator, backend=args.backend,
         pair_dtype=args.pair_dtype, tile_i=args.tile_i, tile_j=args.tile_j,
+        sym_tile=getattr(args, "sym_tile", None),
+        sym_chunk=getattr(args, "sym_chunk", None),
         comm=args.comm,
         mesh_shape=_parse_mesh(args.devices),
         fused_integrate=args.fused_integrate,
@@ -76,6 +87,11 @@ def _build(args):
         # plummer/cold_sphere carry per-body masses.
         use_masses=args.init != "uniform",
     )
+    if getattr(args, "autotune", False):
+        from mini_nbody_tpu.utils import autotune
+
+        cfg = autotune.tune(cfg)
+    return cfg
 
 
 def _state(args, cfg):
@@ -268,8 +284,7 @@ def cmd_check(args):
     # median plus a loose tail bound, while fp32-exact backends gate the max
     # against --force-tol.
     eff = cfg.effective_backend()
-    bf16_class = eff == "sym_mxu" or (eff == "mxu"
-                                      and cfg.pair_dtype == "bfloat16")
+    bf16_class = cfg.bf16_class()
     if bf16_class:
         ok = fmed < 1e-2 and ferr < 0.5
     else:

@@ -165,8 +165,8 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
                 softening=softening, interpret=interpret,
             )
             return pos_bar, jnp.zeros_like(mass)
-        if backward in ("pallas", "mxu") and (not mass_grad
-                                              or pos.shape[0] <= _SYM_BWD_MAX):
+        if backward == "pallas" and (not mass_grad
+                                     or pos.shape[0] <= _SYM_BWD_MAX):
             from mini_nbody_tpu.ops.vjp_kernel import (
                 vjp_pos_pallas, vjp_pos_sym)
 
@@ -227,9 +227,11 @@ def make_differentiable_force(cfg, mass_grad: bool = False):
     eff = cfg.effective_backend()
     if eff == "jnp":
         backward = "jnp"
-    elif eff in ("sym_mxu", "mxu"):
+    elif cfg.bf16_class():
         # bf16-accumulate forward -> matching bf16-class MXU backward
-        # (~2x the fp32 symmetric backward; ops/vjp_mxu.py).
+        # (~2x the fp32 symmetric backward; ops/vjp_mxu.py). mxu with
+        # pair_dtype='float32' is fp32-HIGHEST (fp32-exact class) and keeps
+        # the fp32 backward.
         backward = "mxu"
     else:
         backward = "pallas"

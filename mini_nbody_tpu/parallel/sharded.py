@@ -67,8 +67,15 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
     # exchanges (all_gather, ring cross hops, grid) are rectangular, so
     # those route to the same-precision-class streaming kernel (the
     # half-ring comm='ring_sym' is the one that keeps cross-shard pairs on
-    # the symmetric kernels — each pair once).
+    # the symmetric kernels — each pair once). sym_mxu maps to mxu WITH
+    # bf16 pair operands: its fp32 pair_dtype lowering is the rejected
+    # Precision.HIGHEST path (117 GInter/s, benchmarks/RESULTS.md), not
+    # the same precision class.
     rect_backend = {"sym": "pallas", "sym_mxu": "mxu"}.get(backend, backend)
+    rect_pair_dtype = (
+        jnp.bfloat16
+        if backend == "sym_mxu" or cfg.pair_dtype == "bfloat16"
+        else jnp.float32)
     kern = partial(
         body_force,
         softening=cfg.softening,
@@ -76,7 +83,7 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
         tile_i=cfg.tile_i,
         tile_j=cfg.tile_j,
         interpret=interpret,
-        pair_dtype=jnp.bfloat16 if cfg.pair_dtype == "bfloat16" else jnp.float32,
+        pair_dtype=rect_pair_dtype,
     )
 
     if cfg.comm == "all_gather":
@@ -121,17 +128,23 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
         # the symmetric x MXU hybrid per shard pair (the fastest kernel,
         # bf16-accumulate with the compensated operand split); everything
         # else runs the fp32-exact VPU pair kernel.
+        sym_kw = {}
+        if cfg.sym_tile is not None:
+            sym_kw["tile"] = cfg.sym_tile
+        if cfg.sym_chunk is not None:
+            sym_kw["chunk"] = cfg.sym_chunk
         if backend in ("mxu", "sym_mxu"):
             from mini_nbody_tpu.ops import sym_mxu_force
 
             pair_kernel = partial(sym_mxu_force.body_force_pair_mxu,
                                   split_w=cfg.split_w)
             self_kernel = partial(sym_mxu_force.body_force_sym_mxu,
-                                  split_w=cfg.split_w)
+                                  split_w=cfg.split_w, **sym_kw)
         else:
             from mini_nbody_tpu.ops.symmetric_force import (
-                body_force_pair as pair_kernel,
-                body_force_symmetric as self_kernel)
+                body_force_pair as pair_kernel, body_force_symmetric)
+
+            self_kernel = partial(body_force_symmetric, **sym_kw)
 
         use_m = cfg.use_masses
         half = n_shards // 2  # hops
@@ -155,7 +168,8 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
                 pkt_f = jax.lax.ppermute(pkt_f, BODY_AXIS, fwd)
                 fa, fb = pair_kernel(
                     pos_local, pkt_pos, m_local, pkt_mass,
-                    softening=cfg.softening, tile=cfg.tile_i,
+                    softening=cfg.softening,
+                    tile=cfg.sym_tile or cfg.tile_i,
                     interpret=interpret,
                 )
                 if n_shards % 2 == 0 and k == half:
@@ -185,18 +199,24 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
 
     def self_force(pos_local, mass_local):
         m = mass_local if cfg.use_masses else None
+        sym_kw = {}
+        if cfg.sym_tile is not None:
+            sym_kw["tile"] = cfg.sym_tile
+        if cfg.sym_chunk is not None:
+            sym_kw["chunk"] = cfg.sym_chunk
         if backend == "sym_mxu":
             from mini_nbody_tpu.ops.sym_mxu_force import body_force_sym_mxu
 
             return body_force_sym_mxu(
                 pos_local, m, softening=cfg.softening, interpret=interpret,
-                split_w=cfg.split_w,
+                split_w=cfg.split_w, **sym_kw,
             )
         if use_sym_self:
             from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
 
             return body_force_symmetric(
-                pos_local, m, softening=cfg.softening, interpret=interpret
+                pos_local, m, softening=cfg.softening, interpret=interpret,
+                **sym_kw,
             )
         return kern(pos_local, pos_local, mass_local)
 
@@ -244,10 +264,10 @@ def _make_local_diff_force(cfg: SimConfig, n_shards: int):
     soft = float(cfg.softening)
     ring = cfg.comm in ("ring", "ring_sym")
     perm = [(k, (k + 1) % n_shards) for k in range(n_shards)]
-    # bf16-class forward (sym_mxu/mxu) -> matching MXU rect backward;
-    # fp32 forwards keep the fp32 ordered rect kernel (ops/autodiff.py's
-    # routing, applied per shard pair).
-    mxu_bwd = cfg.effective_backend() in ("sym_mxu", "mxu")
+    # bf16-class forward (sym_mxu; mxu only with bfloat16 pair operands) ->
+    # matching MXU rect backward; fp32-class forwards keep the fp32 ordered
+    # rect kernel (ops/autodiff.py's routing, applied per shard pair).
+    mxu_bwd = cfg.bf16_class()
 
     @jax.custom_vjp
     def force(pos_local, mass_local):

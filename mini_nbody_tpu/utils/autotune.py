@@ -76,21 +76,21 @@ def _key(cfg: SimConfig) -> str:
 
 
 def _default_measure(cfg: SimConfig, reps: int) -> float:
-    """Median seconds for one force pass of cfg on the live backend."""
+    """Median seconds per step of cfg on the live backend, amortized over
+    auto_inner(n) scanned steps per sync — a single un-amortized pass would
+    be swamped by the ~33 ms dispatch overhead at small N (CLAUDE.md) and
+    cache a noise winner. Times the full step (force + O(N) integrate),
+    matching bench.py's methodology."""
     import jax
+    import jax.numpy as jnp
 
     from mini_nbody_tpu.models import init
-    from mini_nbody_tpu.ops.force import make_force_fn
-    from mini_nbody_tpu.utils.harness import time_fn
+    from mini_nbody_tpu.sim import make_step_fn
+    from mini_nbody_tpu.utils.harness import time_step_fn
 
     state = init.uniform_random(jax.random.key(0), cfg.n)
-    inner = make_force_fn(cfg)
-    # One pos argument: under an outer jit, passing the same array twice
-    # yields two distinct tracers, which the symmetric backends' square-
-    # self-force identity check (force.py) correctly rejects.
-    force = jax.jit(lambda p, m: inner(p, p, m))
-    mass = state.mass if cfg.use_masses else None
-    return time_fn(force, state.pos, mass, reps=reps, warmup=1)
+    acc = jnp.zeros_like(state.pos)
+    return time_step_fn(make_step_fn(cfg), (state, acc), n=cfg.n, reps=reps)
 
 
 def _candidates(cfg: SimConfig):

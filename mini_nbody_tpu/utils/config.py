@@ -56,8 +56,10 @@ class SimConfig:
         accuracy with the compensated operand split (~1e-4 median force
         error; see ops/sym_mxu_force.py). The pair-once backends shard
         under every comm: comm='ring_sym' preserves each-pair-once across
-        shards; the rectangular exchanges keep them for the self-shard hop
-        and stream cross-shard work through pallas/mxu respectively.
+        shards; 'ring' keeps the symmetric kernel for the self-shard hop
+        and streams cross hops through pallas / mxu-bf16 respectively;
+        'all_gather' and 'grid' (rectangular throughout) stream ALL work
+        through the same-precision-class streaming kernel.
       pair_dtype: precision knob for the mxu backend's accumulation matmul
         operands ("bfloat16" = single-pass MXU, the throughput mode;
         "float32" = exact contract). Distances are always exact fp32, and
@@ -132,11 +134,12 @@ class SimConfig:
             raise ValueError(
                 f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"
             )
-        # backend 'sym'/'sym_mxu' under a rectangular exchange (all_gather/
-        # ring/grid) keeps the symmetric kernel for the self-shard hop and
-        # routes cross-shard work to the same-precision-class streaming
-        # kernel (sym -> pallas, sym_mxu -> mxu); only comm='ring_sym'
-        # preserves each-pair-once ACROSS shards (parallel/sharded.py).
+        # backend 'sym'/'sym_mxu' under a rectangular exchange routes
+        # streaming work to the same precision class (sym -> pallas,
+        # sym_mxu -> mxu with bf16 pair operands); 'ring' keeps the
+        # symmetric kernel for the self-shard hop, 'all_gather'/'grid'
+        # stream everything; only comm='ring_sym' preserves each-pair-once
+        # ACROSS shards (parallel/sharded.py).
         if self.comm not in ("all_gather", "ring", "ring_sym", "grid"):
             raise ValueError(
                 "comm must be 'all_gather', 'ring', 'ring_sym' or 'grid', "
@@ -178,6 +181,16 @@ class SimConfig:
         if self.backend == "auto" and backend == "pallas" and not sharded:
             return "sym"
         return backend
+
+    def bf16_class(self) -> bool:
+        """True when the configured force path accumulates through
+        single-pass bf16 MXU matmuls (sym_mxu always; mxu only with
+        pair_dtype='bfloat16' — with 'float32' it runs Precision.HIGHEST,
+        fp32-exact class). Drives the check gate's tolerance tier and the
+        backward-kernel routing (fp32 forwards keep fp32 backwards)."""
+        eff = self.effective_backend()
+        return eff == "sym_mxu" or (eff == "mxu"
+                                    and self.pair_dtype == "bfloat16")
 
     def resolve_interpret(self) -> bool:
         """Pallas interpret mode: real Mosaic on TPU, interpreter elsewhere."""

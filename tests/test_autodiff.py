@@ -343,3 +343,17 @@ class TestMassGradients:
         cfg = SimConfig(n=8, backend="jnp", use_masses=False)
         with pytest.raises(ValueError, match="mass"):
             make_differentiable_force(cfg, mass_grad=True)
+
+
+def test_backward_routing_respects_precision_class():
+    # mxu with the default pair_dtype='float32' runs Precision.HIGHEST —
+    # fp32-exact class — and must KEEP the fp32 backward; only bf16-class
+    # forwards (sym_mxu, or mxu with bfloat16 operands) get the bf16-class
+    # MXU backward (code-review r2c finding).
+    from mini_nbody_tpu.utils.config import SimConfig
+
+    assert not SimConfig(n=64, backend="mxu").bf16_class()
+    assert not SimConfig(n=64, backend="sym").bf16_class()
+    assert not SimConfig(n=64, backend="pallas").bf16_class()
+    assert SimConfig(n=64, backend="mxu", pair_dtype="bfloat16").bf16_class()
+    assert SimConfig(n=64, backend="sym_mxu").bf16_class()
