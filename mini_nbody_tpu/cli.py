@@ -276,7 +276,10 @@ def cmd_check(args):
     e_cap = (1 << 21) if _jax.default_backend() == "tpu" else 65536
     e0 = float(diag.total_energy(state, cfg.softening)) if cfg.n <= e_cap else None
     p0 = np.asarray(diag.momentum(state))
-    out = simulate(cfg, state)
+    # Pin the resolved backend so the conservation run exercises the SAME
+    # kernel the report names (simulate's auto small-N routing would
+    # otherwise swap in the resident kernel under an 'auto' label).
+    out = simulate(cfg.replace(backend=cfg.effective_backend()), state)
     p1 = np.asarray(diag.momentum(out))
 
     # bf16-accumulate backends (mxu-bfloat16, sym_mxu) legitimately carry

@@ -57,8 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
 
-_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
-    pltpu, "TPUCompilerParams"
+from mini_nbody_tpu.ops.pallas_compat import (
+    CompilerParams as _CompilerParams,
 )
 
 

@@ -35,8 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
 
 # Pallas TPU compiler-params class was renamed across JAX versions.
-_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
-    pltpu, "TPUCompilerParams"
+from mini_nbody_tpu.ops.pallas_compat import (
+    CompilerParams as _CompilerParams,
+    fast_rsqrt_cube,
 )
 
 
@@ -172,7 +173,7 @@ def euler_step_fused(
     grid = (np_ // tile_i, np_ // tile_j)
     kernel = functools.partial(
         _fused_euler_kernel, softening=float(softening), acc_steps=grid[1],
-        unit_mass=unit_mass, fast_rsqrt_cube=float(softening) >= 1e-12,
+        unit_mass=unit_mass, fast_rsqrt_cube=fast_rsqrt_cube(softening),
         dt=float(dt),
     )
     pairs = np_ * np_
@@ -263,11 +264,11 @@ def body_force_pallas(
     acc_steps = grid[1]
 
     # rsqrt(r2^3) needs softening^3 to stay a normal fp32.
-    fast_rsqrt_cube = float(softening) >= 1e-12
+    fast = fast_rsqrt_cube(softening)
 
     kernel = functools.partial(
         _direct_kernel, softening=float(softening), acc_steps=acc_steps,
-        unit_mass=unit_mass, fast_rsqrt_cube=fast_rsqrt_cube,
+        unit_mass=unit_mass, fast_rsqrt_cube=fast,
     )
 
     pairs = ni_p * nj_p

@@ -3,7 +3,8 @@ Pallas kernel launch, with the full body state living in VMEM across steps.
 
 Why: at small N every backend is launch-bound, not compute-bound — measured
 ~500 us of fixed per-step overhead (kernel launch + scan iteration) against
-~40 us of pure force compute at N=4096 (benchmarks/RESULTS.md "small-N").
+~96 us of pure force compute at N=4096 (23 VPU ops/ordered pair at the
+measured 4e12 ops/s; benchmarks/RESULTS.md "small-N").
 The reference FPGA's home regime IS small N (it caps at 32,767 bodies and
 its pitch is low fixed overhead: a ~145-cycle pass setup,
 /root/reference .../top_level.vhd:45 + SURVEY §6). The TPU answer is to
@@ -43,8 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
 
-_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
-    pltpu, "TPUCompilerParams"
+from mini_nbody_tpu.ops.pallas_compat import (
+    CompilerParams as _CompilerParams,
+    fast_rsqrt_cube,
 )
 
 #: VMEM bound for the resident path: 2 double-buffered (N, 8) wide buffers
@@ -188,7 +190,7 @@ def simulate_resident(
     wide0 = jnp.concatenate(
         [pos, vel, m[:, None], jnp.zeros((np_, 1), jnp.float32)], axis=1)
 
-    fast = float(softening) >= 1e-12
+    fast = fast_rsqrt_cube(softening)
     vm = pltpu.VMEM
     out_a, out_b = pl.pallas_call(
         functools.partial(_resident_kernel, tile=tile, nb=nb, dt=float(dt),

@@ -58,8 +58,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
 
-_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
-    pltpu, "TPUCompilerParams"
+from mini_nbody_tpu.ops.pallas_compat import (
+    CompilerParams as _CompilerParams,
+    fast_rsqrt_cube,
 )
 
 
@@ -190,7 +191,7 @@ def _build_calls(softening, tile, c, interpret, split_w=False):
     and host-segmented drivers)."""
     nb = c // tile
     nd = nb // 2 + 1
-    fast = float(softening) >= 1e-12
+    fast = fast_rsqrt_cube(softening)
     vm = pltpu.VMEM
     tri_call = pl.pallas_call(
         functools.partial(_tri_kernel, softening=float(softening), tile=tile,
@@ -416,7 +417,7 @@ def body_force_pair_mxu(
     pa, _, va = _pack(pos_a, mass_a, na, na_p)
     pb, pbt, vb = _pack(pos_b, mass_b, nb_n, nb_p)
 
-    fast = float(softening) >= 1e-12
+    fast = fast_rsqrt_cube(softening)
     vm = pltpu.VMEM
     rows, colsT = pl.pallas_call(
         functools.partial(_cross_kernel, softening=float(softening),

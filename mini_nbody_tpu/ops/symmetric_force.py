@@ -52,8 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
 
-_CompilerParams = getattr(pltpu, "CompilerParams", None) or getattr(
-    pltpu, "TPUCompilerParams"
+from mini_nbody_tpu.ops.pallas_compat import (
+    CompilerParams as _CompilerParams,
+    fast_rsqrt_cube,
 )
 
 
@@ -221,7 +222,7 @@ def _build_calls(softening, tile, c, k, interpret):
     """The two Mosaic kernels for chunk size c (shapes fixed by (tile, c))."""
     nb = c // tile
     nd = nb // 2 + 1
-    fast = float(softening) >= 1e-12
+    fast = fast_rsqrt_cube(softening)
     masses = k == 4
     vm = pltpu.VMEM
     tri_call = pl.pallas_call(
@@ -460,7 +461,7 @@ def body_force_pair(
     k = pos_a.shape[1]
     pbt = pos_b.T
 
-    fast = float(softening) >= 1e-12
+    fast = fast_rsqrt_cube(softening)
     rows, colsT = pl.pallas_call(
         functools.partial(_cross_kernel, softening=float(softening),
                           tile=tile_ab, fast=fast, masses=masses),

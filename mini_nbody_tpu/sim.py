@@ -127,7 +127,6 @@ def simulate(
     steps = cfg.steps if steps is None else steps
     if (cfg.backend == "auto" and cfg.integrator == "euler"
             and not cfg.fused_integrate and steps >= 2
-            and steps <= 500_000  # watchdog: ~140 us/step resident
             and jax.default_backend() == "tpu"):
         from mini_nbody_tpu.ops.resident import (
             RESIDENT_MAX_N, simulate_resident)
@@ -136,13 +135,25 @@ def simulate(
             # Small-N fast path: the whole trajectory runs inside ONE
             # kernel launch with the state resident in VMEM — 3.9x the
             # streamed per-step path at N=4096, where every backend is
-            # launch-bound (ops/resident.py).
-            pos, vel = simulate_resident(
-                state.pos, state.vel,
-                state.mass if cfg.use_masses else None,
-                steps=steps, dt=float(cfg.dt),
-                softening=float(cfg.softening),
-            )
+            # launch-bound (ops/resident.py). Long runs are host-segmented
+            # into watchdog-safe dispatches like every other path (the
+            # per-step estimate uses the same conservative rate).
+            per_step = float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
+            seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / per_step))
+            interp = cfg.resolve_interpret()
+            pos, vel = state.pos, state.vel
+            mass = state.mass if cfg.use_masses else None
+            done = 0
+            while done < steps:
+                k = min(seg, steps - done)
+                pos, vel = simulate_resident(
+                    pos, vel, mass,
+                    steps=k, dt=float(cfg.dt),
+                    softening=float(cfg.softening), interpret=interp,
+                )
+                done += k
+                if done < steps:
+                    _sync(pos)
             return BodyState(pos=pos, vel=vel, mass=state.mass)
     per_step = float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
     if per_step > MAX_DEVICE_SECONDS_PER_DISPATCH:
