@@ -17,6 +17,13 @@ import jax
 
 BASELINE_GIPS = 3.0  # reference FPGA @250 MHz, 12 interactions/cycle
 
+#: North-star comparison (BASELINE.md "The CUDA-nbody number"): the one
+#: published CUDA-nbody absolute rate (GPU Gems 3 ch. 31, GeForce 8800 GTX,
+#: ">200 GFLOPS" / 20 flops-per-pair) and a peak-scaled V100-class estimate
+#: (15.7 TF fp32 x ~0.55 sample efficiency / 20).
+CUDA_NBODY_PUBLISHED_GIPS = 10.0
+CUDA_NBODY_V100_EST_GIPS = 430.0
+
 
 def main():
     n = int(os.environ.get("NBODY_BENCH_N", 1 << 20))
@@ -85,6 +92,22 @@ def main():
             ),
             file=sys.stderr,
         )
+    gips = t.ginteractions_per_s_per_device
+    print(
+        json.dumps(
+            {
+                "context": "north-star vs CUDA nbody (BASELINE.md table)",
+                "cuda_published_8800gtx_gips": CUDA_NBODY_PUBLISHED_GIPS,
+                "margin_vs_published_x": round(
+                    gips / CUDA_NBODY_PUBLISHED_GIPS, 1),
+                "cuda_v100_class_estimate_gips": CUDA_NBODY_V100_EST_GIPS,
+                "margin_vs_v100_class_x": round(
+                    gips / CUDA_NBODY_V100_EST_GIPS, 2),
+                "source": "GPU Gems 3 ch.31 (Nyland, Harris, Prins 2007)",
+            }
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

@@ -90,7 +90,18 @@ def main(num_processes: int = 2) -> int:
         )
         for i in range(num_processes)
     ]
-    rcs = [p.wait(timeout=300) for p in procs]
+    # Inner timeout strictly below the gating test's 280 s subprocess
+    # timeout, and any hang/raise kills EVERY surviving worker — a single
+    # stuck process must not orphan the rest.
+    try:
+        rcs = [p.wait(timeout=240) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            if p.poll() is None:
+                p.wait(timeout=10)
     if any(rcs):
         raise SystemExit(f"worker exit codes {rcs}")
     return 0

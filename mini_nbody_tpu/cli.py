@@ -289,7 +289,10 @@ def cmd_check(args):
     eff = cfg.effective_backend()
     bf16_class = cfg.bf16_class()
     if bf16_class:
-        ok = fmed < 1e-2 and ferr < 0.5
+        # Post-compensated-split error classes with margin (RESULTS.md:
+        # median 1.1e-4, max 1.6e-2 at N=65536). A regression reintroducing
+        # the pre-split cancellation tails (p99 ~0.14) must FAIL here.
+        ok = fmed < 5e-4 and ferr < 5e-2
     else:
         ok = ferr < args.force_tol
     report = {

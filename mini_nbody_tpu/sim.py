@@ -31,6 +31,12 @@ def make_step_fn(cfg: SimConfig, differentiable: bool = False):
     jax.grad flows through whole trajectories regardless of backend.
     """
     if differentiable:
+        if cfg.fused_integrate:
+            # The fused-epilogue kernel has no VJP; refusing beats silently
+            # handing back the unfused path the user opted out of.
+            raise ValueError(
+                "fused_integrate has no differentiable path: use "
+                "cfg.replace(fused_integrate=False) with differentiable=True")
         from mini_nbody_tpu.ops.autodiff import make_differentiable_force
 
         diff = make_differentiable_force(cfg)
@@ -138,7 +144,15 @@ def simulate(
             # launch-bound (ops/resident.py). Long runs are host-segmented
             # into watchdog-safe dispatches like every other path (the
             # per-step estimate uses the same conservative rate).
-            per_step = float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
+            # Pair-rate estimate PLUS a per-grid-iteration overhead term: at
+            # small N fixed per-iteration cost dominates (N=128 is ~1-2 us
+            # per step, not the ~0.16 us the pair count suggests), and a
+            # several-hundred-million-step request must still stay under the
+            # ~5-min tunnel watchdog in one dispatch.
+            tile = 1024 if cfg.n <= 4096 else 512
+            nb = -(-cfg.n // tile)
+            per_step = (float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
+                        + 2e-6 * nb * nb)
             seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / per_step))
             interp = cfg.resolve_interpret()
             pos, vel = state.pos, state.vel

@@ -69,9 +69,12 @@ def _key(cfg: SimConfig) -> str:
     import jax
 
     device = jax.devices()[0].device_kind.replace(" ", "_")
+    # pair_dtype/split_w change the kernel's compute balance (mxu-bf16 vs
+    # mxu-fp32 optima differ by a 2x rate class), so they key the cache.
     return "|".join([
         device, cfg.effective_backend(),
         "mass" if cfg.use_masses else "unit", str(_bucket(cfg.n)),
+        cfg.pair_dtype, "wsplit" if cfg.split_w else "w1",
     ])
 
 
@@ -107,6 +110,29 @@ def _params(cfg: SimConfig) -> dict:
             "tile_i": cfg.tile_i, "tile_j": cfg.tile_j}
 
 
+#: Tiling fields each backend family actually tunes; a cache hit applies
+#: ONLY these (and only where the user left the SimConfig default), so
+#: `run --autotune --sym-chunk 65536` keeps the explicit chunk instead of
+#: resetting it to the tune-time value.
+FAMILY_PARAMS = {
+    "sym": ("sym_tile", "sym_chunk"),
+    "sym_mxu": ("sym_tile", "sym_chunk"),
+    "pallas": ("tile_i", "tile_j"),
+    "mxu": ("tile_i", "tile_j"),
+}
+
+
+def _apply_cached(cfg: SimConfig, params: dict) -> SimConfig:
+    """Apply a cached result to cfg: family-tuned fields only, user
+    overrides (any field differing from the dataclass default) kept."""
+    defaults = SimConfig(n=cfg.n)
+    keep = {}
+    for k in FAMILY_PARAMS.get(cfg.effective_backend(), ()):
+        if k in params and getattr(cfg, k) == getattr(defaults, k):
+            keep[k] = params[k]
+    return cfg.replace(**keep)
+
+
 def tune(
     cfg: SimConfig,
     reps: int = 2,
@@ -127,8 +153,7 @@ def tune(
     if use_cache:
         hit = _load(path).get(key)
         if hit:
-            return cfg.replace(**{k: v for k, v in hit["params"].items()
-                                  if k in _params(cfg)})
+            return _apply_cached(cfg, hit["params"])
 
     best, best_sec = None, float("inf")
     results = {}

@@ -156,6 +156,70 @@ def test_tpu_split_kills_cancellation_tails():
     assert np.percentile(errw, 99) < 2e-3
 
 
+def test_split_regression_cpu_emulated_bf16():
+    """CPU gate that _pack's compensated [vhi|vlo] operand split is ACTIVE
+    and sufficient — no chip needed.
+
+    Emulates the MXU's single-pass bf16 operand rounding in NumPy (the
+    diagnosis methodology of benchmarks/RESULTS.md "Compensated bf16
+    operand splits") on the ACTUAL operand `_pack` produces: W computed
+    exact fp32 (the on-chip VPU path), every matmul operand rounded to
+    bf16, fp32 accumulation. If XLA ever folds the reduce_precision split
+    to identity again (the astype form WAS folded — _pack docstring), vlo
+    collapses to zero and the emulated force error reverts to the
+    pre-split cancellation-tail class, failing both assertions below.
+    """
+    import ml_dtypes
+
+    from mini_nbody_tpu.ops.sym_mxu_force import _pack
+
+    n = 4096
+    soft = 1e-9
+    pos = np.asarray(init.uniform_random(jax.random.key(7), n).pos)
+
+    def bf16(a):
+        return a.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+    # Exact fp32 weight matrix (the kernel's VPU path), self pairs masked.
+    d = pos[None, :, :].astype(np.float32) - pos[:, None, :]
+    d2 = (d * d).sum(-1)
+    w = (d2 + np.float32(soft)) ** np.float32(-1.5)
+    w = np.where(d2 == 0.0, np.float32(0.0), w).astype(np.float32)
+
+    # fp64 oracle on the same pairs.
+    ref = (d.astype(np.float64)
+           * ((d2.astype(np.float64) + soft) ** -1.5)[:, :, None]).sum(1)
+    rn = np.maximum(np.linalg.norm(ref, axis=1), 1e-30)
+
+    def emulated_force(v):
+        # rows-side accumulation identity with bf16-rounded MXU operands;
+        # the reaction side partitions the same sum, so rounding behavior
+        # is identical on the full matrix.
+        s = bf16(w) @ bf16(v)
+        s = s[:, 0:4] + s[:, 4:8]
+        return s[:, 0:3] - pos * s[:, 3:4]
+
+    # The operand the real kernel sees (jitted, so a folding regression in
+    # XLA's simplifier is exactly what this exercises).
+    v_split = np.asarray(jax.jit(
+        lambda p: _pack(p, None, n, n)[2])(jnp.asarray(pos)))
+    assert np.abs(v_split[:, 4:8]).max() > 0, \
+        "split folded to identity: vlo == 0"
+
+    err_split = np.linalg.norm(emulated_force(v_split) - ref, axis=1) / rn
+    # A FOLDED split is [v | 0]: the documented pre-split tail class.
+    v_broken = np.concatenate([v_split[:, 0:4] + v_split[:, 4:8],
+                               np.zeros((n, 4), np.float32)], axis=1)
+    err_broken = np.linalg.norm(emulated_force(v_broken) - ref, axis=1) / rn
+
+    # Compensated class: uniform w-rounding error only (no |p|/|d| tails).
+    assert np.median(err_split) < 1e-3
+    assert np.percentile(err_split, 99) < 1e-2
+    # And the emulation DISCRIMINATES: the broken operand's cancellation
+    # tails are far above the gate (so the gate would really catch it).
+    assert np.percentile(err_broken, 99) > 3 * np.percentile(err_split, 99)
+
+
 def test_pair_mxu_matches_rect_oracle():
     from tests.conftest import oracle_force_rect
     from mini_nbody_tpu.ops.sym_mxu_force import body_force_pair_mxu
