@@ -92,10 +92,15 @@ def time_fn(fn: Callable, *args, reps: int = 3, warmup: int = 1) -> float:
     return float(np.median(times))
 
 
-def auto_inner(n: int, target_pairs: float = 1.2e11, cap: int = 64) -> int:
+def auto_inner(n: int, target_pairs: float = 4e12, cap: int = 4096) -> int:
     """Steps per timed sync so fixed dispatch overhead (~33 ms through the
-    axon tunnel) amortizes away: aim for ~target_pairs interactions/sync
-    (~0.5-1 s of kernel time per sync on v5e)."""
+    axon tunnel) amortizes below ~0.5%: ~target_pairs interactions/sync is
+    ~10 s of kernel time at the headline rate (and safely inside both the
+    watchdog and the ~4e12-pairs-per-dispatch tunnel crash bound —
+    CLAUDE.md). The old 1.2e11 target left N=262,144 syncing every step:
+    33 ms on a 199 ms step read as a fake 18% "throughput valley" at
+    exactly the official config-3 size (round-2 VERDICT item 1; re-measured
+    409.3 G/s = 0.972 roofline, vs 345.3 mis-measured)."""
     return max(1, min(cap, int(target_pairs // (float(n) * n) or 1)))
 
 

@@ -30,8 +30,9 @@ def test_config_validation():
 def test_helpers():
     assert ceil_log2(1) == 0 and ceil_log2(16) == 4 and ceil_log2(17) == 5
     assert round_up(100, 128) == 128 and round_up(256, 128) == 256
-    assert auto_inner(1 << 20) == 1
-    assert auto_inner(1024) == 64
+    assert auto_inner(1 << 20) == 3   # ~10 s/sync at the headline rate
+    assert auto_inner(1 << 22) == 1   # one step already amortizes
+    assert auto_inner(1024) == 4096   # capped
 
 
 def test_checkpoint_roundtrip(tmp_path):
