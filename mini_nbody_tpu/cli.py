@@ -57,6 +57,11 @@ def _add_common(p):
                    help="fold the Euler integrate into the direct kernel's "
                         "epilogue (requires --backend pallas, euler, "
                         "single chip; measured +0.7%%)")
+    p.add_argument("--resident", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="whole-trajectory resident kernel: auto routes "
+                        "small N on TPU; on forces it (N <= VMEM cap); "
+                        "off pins the streamed per-step path")
     p.add_argument("--split-w", action="store_true",
                    help="sym_mxu accuracy mode: compensate the bf16 pair-"
                         "weight rounding with a second lo-pass matmul "
@@ -83,6 +88,8 @@ def _build(args):
         mesh_shape=_parse_mesh(args.devices),
         fused_integrate=args.fused_integrate,
         split_w=args.split_w,
+        resident={"auto": None, "on": True, "off": False}[
+            getattr(args, "resident", "auto")],
         # uniform init has unit masses (reference semantics -> fast path);
         # plummer/cold_sphere carry per-body masses.
         use_masses=args.init != "uniform",
@@ -276,10 +283,12 @@ def cmd_check(args):
     e_cap = (1 << 21) if _jax.default_backend() == "tpu" else 65536
     e0 = float(diag.total_energy(state, cfg.softening)) if cfg.n <= e_cap else None
     p0 = np.asarray(diag.momentum(state))
-    # Pin the resolved backend so the conservation run exercises the SAME
-    # kernel the report names (simulate's auto small-N routing would
-    # otherwise swap in the resident kernel under an 'auto' label).
-    out = simulate(cfg.replace(backend=cfg.effective_backend()), state)
+    # Pin the resolved backend AND the streamed path so the conservation
+    # run exercises the SAME kernel the report names (simulate's small-N
+    # routing would otherwise swap in the resident kernel — same precision
+    # class, but a different kernel than the label).
+    out = simulate(cfg.replace(backend=cfg.effective_backend(),
+                               resident=False), state)
     p1 = np.asarray(diag.momentum(out))
 
     # bf16-accumulate backends (mxu-bfloat16, sym_mxu) legitimately carry
@@ -314,11 +323,15 @@ def cmd_tune(args):
     from mini_nbody_tpu.utils import autotune
 
     cfg = _build(args)
-    best = autotune.tune(cfg, reps=args.reps, use_cache=not args.no_cache)
+    best = autotune.tune(cfg, reps=args.reps, use_cache=not args.no_cache,
+                         backward=args.backward)
     print(json.dumps({
         "backend": cfg.effective_backend(),
         "n": cfg.n,
         "sym_tile": best.sym_tile,
+        "sym_chunk": best.sym_chunk,
+        "sym_bwd_tile": best.sym_bwd_tile,
+        "resident_tile": best.resident_tile,
         "tile_i": best.tile_i,
         "tile_j": best.tile_j,
         "cache": str(autotune.cache_path()),
@@ -364,6 +377,9 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=2)
     p.add_argument("--no-cache", action="store_true",
                    help="re-measure even if a cached result exists")
+    p.add_argument("--backward", action="store_true",
+                   help="also sweep the symmetric backward kernel's tile "
+                        "(sym_bwd_tile; one extra compile per candidate)")
     p.set_defaults(fn=cmd_tune)
 
     args = ap.parse_args(argv)

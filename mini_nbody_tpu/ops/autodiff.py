@@ -114,7 +114,8 @@ def _vjp_pos(pos, g, mass, softening, row_chunk: int | None = None,
 def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
                          interpret: bool = False, unit_mass: bool = False,
                          tile_i: int | None = None, tile_j: int | None = None,
-                         mass_grad: bool = False):
+                         mass_grad: bool = False,
+                         sym_bwd_tile: int | None = None):
     """Wrap ``force_impl(pos, mass) -> (N,3)`` (square self-force, any
     backend, non-differentiable) into a custom-VJP differentiable function.
 
@@ -130,6 +131,9 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
     if mass_grad and unit_mass:
         raise ValueError("mass_grad=True requires a mass-mode force "
                          "(unit_mass=False)")
+    # Symmetric-backward tile override (utils/autotune's bwd family);
+    # None keeps each kernel's measured-best default.
+    _sym_kw = {} if sym_bwd_tile is None else {"tile": sym_bwd_tile}
 
     @jax.custom_vjp
     def body_force_diff(pos, mass):
@@ -150,7 +154,7 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
                 out = vjp_pos_sym_mxu(
                     pos, g, None if unit_mass else mass,
                     softening=softening, interpret=interpret,
-                    mass_grad=mass_grad,
+                    mass_grad=mass_grad, **_sym_kw,
                 )
                 if mass_grad:
                     return out
@@ -181,7 +185,7 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
                 out = vjp_pos_sym(
                     pos, g, None if unit_mass else mass,
                     softening=softening, interpret=interpret,
-                    mass_grad=mass_grad,
+                    mass_grad=mass_grad, **_sym_kw,
                 )
                 if mass_grad:
                     return out
@@ -239,6 +243,7 @@ def make_differentiable_force(cfg, mass_grad: bool = False):
         impl, float(cfg.softening), backward=backward,
         interpret=cfg.resolve_interpret(), unit_mass=not cfg.use_masses,
         tile_i=cfg.tile_i, tile_j=cfg.tile_j, mass_grad=mass_grad,
+        sym_bwd_tile=cfg.sym_bwd_tile,
     )
 
     def force(pos, mass=None):

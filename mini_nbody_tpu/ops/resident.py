@@ -1,6 +1,14 @@
 """Whole-simulation-resident kernel: the ENTIRE trajectory runs inside ONE
 Pallas kernel launch, with the full body state living in VMEM across steps.
 
+SUPERSEDED (round 3) by ops/resident_sym.py — sublane-major 32 B/body
+state (vs this kernel's lane-padded 512 B/body), symmetric + MXU-hybrid
+math, leapfrog support, and a 16x larger N cap. sim.simulate routes there;
+this module remains as the direct-ordered baseline variant and for its
+round-2 measurements. NOTE: its "3.9x streamed at N=4096" figure below was
+measured against the round-2 un-amortized harness; with scan-amortized
+timing the streamed path wins at N=4096 (see resident_sym's docstring).
+
 Why: at small N every backend is launch-bound, not compute-bound — measured
 ~500 us of fixed per-step overhead (kernel launch + scan iteration) against
 ~96 us of pure force compute at N=4096 (23 VPU ops/ordered pair at the

@@ -5,13 +5,15 @@ BOTH integrators (leapfrog rides the same kernel, see below).
 
 Why a second resident kernel (vs ops/resident.py):
 
-* **Transposed state.** The original stores state as wide (N, 8) rows: VMEM
-  lane-pads the minor dim to 128, costing 512 B/body and capping the
-  resident regime at N<=8192. Stored transposed as (8, N) — 8 sublanes
-  exactly, bodies along lanes — state is 32 B/body, lifting the cap to
-  65,536: double the reference FPGA's own whole envelope (N<=32,767 via its
-  RAM depth, ``src/top_level.vhd:45-46``), where its pitch was precisely
-  low fixed overhead per pass (~145 cycles, SURVEY §6).
+* **Sublane-major block state.** The original stores state as wide (N, 8)
+  rows: VMEM lane-pads the minor dim to 128, costing 512 B/body and capping
+  the resident regime at N<=8192. Here state lives as (8*nb, tile) — block
+  b's 8 state rows [x y z vx vy vz m pad] at sublanes 8b..8b+7, bodies
+  along lanes — 32 B/body exactly, and every per-block access is a dynamic
+  SUBLANE slice (the cheap direction; dynamic lane offsets cost lane
+  rotations). The cap rises to 131,072: 4x the reference FPGA's whole
+  envelope (N<=32,767 via its RAM depth, ``src/top_level.vhd:45-46``),
+  whose pitch was precisely low fixed overhead per pass (SURVEY §6).
 * **Symmetric traversal.** The original computes every ordered pair (~23
   VPU ops each); this kernel walks the diagonal-band schedule of
   ops/symmetric_force.py (each unordered pair ONCE, rows + reactions),
@@ -19,35 +21,51 @@ Why a second resident kernel (vs ops/resident.py):
   the matrix unit exactly like ops/sym_mxu_force.py (w once per pair on
   the VPU, row sums and reaction sums as (8,T)x(T,T) matmuls with the
   compensated bf16 [hi|lo] operand split).
-* **Both accumulators transposed too.** Row sums and reaction sums land in
-  (8, N) whole-buffer VMEM scratch (constant-index accumulation — the only
-  revisit-safe pattern besides consecutive same-block writes; CLAUDE.md).
-  The transposed orientation makes every integrate-phase op row-wise, and
-  the only transposes anywhere are one (T,T)x(8,T) MXU identity matmul per
-  i-tile per step (column operands for the pair-distance broadcast) and,
-  in VPU mode, one per block for the row-sum pack.
+* **Single-buffer state, no parity.** Integration runs in dedicated grid
+  slots AFTER every force band of the step (grid is lexicographic under
+  "arbitrary" semantics), so in-place integrate writes can never be read
+  by the same step's force blocks — no double buffer, no duplicated
+  even/odd kernel body, and the initial state enters by input/output
+  aliasing (no copy). The in-VMEM analog of the reference keeping state
+  in shared RAM across passes (``src/top_level.vhd:180-186``), with the
+  host's per-pass polling round-trip gone entirely.
+* **Transposed accumulators, native transposes.** Row sums and reaction
+  sums land in (8*nb, tile) whole-buffer VMEM scratch (constant-index
+  accumulation — the only revisit-safe pattern besides consecutive
+  same-block writes; CLAUDE.md), so every integrate-phase op is row-wise.
+  The only transposes anywhere — the i-tile column operands (one per
+  i-tile per step) and the VPU row-sum pack (one per block) — use
+  ``jnp.swapaxes``, which Mosaic lowers natively, exactly and ~free. (An
+  MXU-identity transpose at Precision.HIGHEST costs ~17 us a call —
+  measured — and an early draft spent most of its small-N step time
+  there.)
 
 Grid: ``(steps, nb + n_int, nd)`` with nd = nb//2 + 1 diagonal bands. For
 i < nb the slot computes force block (i, (i+d) mod nb); the trailing n_int
-i-slots integrate the nb state blocks (Euler, fused in-kernel) once every
-band of the step has accumulated — the in-VMEM analog of the reference
-keeping state in shared RAM across passes (``src/top_level.vhd:180-186``),
-with the host's per-pass polling round-trip gone entirely. State is
-double-buffered (read step s from parity buffer, write the other) so later
-force blocks never see half-integrated positions; the initial state enters
-by input/output aliasing (no copy, no third buffer).
+i-slots integrate the nb state blocks (Euler, fused in-kernel).
+
+Measured regime (v5e, amortized harness — us/step vs the streamed path):
+N=512: 5.3 vs 11.4 (mxu) and 6.5 vs 10.6 (fp32); N=1024: 8.5 vs 12.4 and
+11.9 vs 14.3; N=2048: 23.0 vs 23.5 (tie, mxu). From N=4096 up the
+STREAMED kernels win — with honest (scan-amortized) measurement they are
+already 0.56-0.68 of roofline at 4096 and 0.93+ from 16384, so the
+resident kernel's home is genuinely small N: sub-microsecond-per-band
+grid slots put its floor at ~(bands x 1-2 us)/step, while the streamed
+path pays a fixed ~20-40 us of launch + XLA glue per step. Both the
+round-2 resident kernel's "3.9x at N=4096" headline and the ">=500 us
+streamed launch overhead" it was measured against were artifacts of the
+old un-amortized harness (utils/harness.auto_inner). sim.simulate
+auto-routes N <= 1024 (fp32) / 2048 (mxu); the per-band Mosaic iteration
+floor (~0.55 us at T=512, scaling with T^2 — ablated with an empty force
+body) is what keeps larger N streamed.
 
 Leapfrog needs NO second kernel: KDK with the two half-kicks merged is the
 Euler update on staggered velocities — v_{k+1/2} = v_{k-1/2} + dt*a(x_k),
 x_{k+1} = x_k + dt*v_{k+1/2}. ``simulate_resident_sym_leapfrog`` offsets
-v by -dt/2*a0 with one streamed force pass, runs this kernel, and closes
-with the matching +dt/2 half-kick (one more streamed pass): steps+1 force
-evaluations total, identical to the streamed leapfrog loop, equal up to
-fp32 reassociation of the merged kicks.
-
-VMEM at the N=65,536 cap (tile=512, mxu): state 2x2 MB + accumulators
-2x2 MB + identity 1 MB + (T,T) weight temporaries ~2-3 MB + (T,8) i-tile
-~0.25 MB ~= 12-13 MB of the ~16 MB budget (compile-verified on chip).
+v by +dt/2*a0 and pre-drifts x with one streamed force pass, runs this
+kernel for steps-1, and closes with the matching +dt/2 half-kick (one more
+streamed pass): steps+1 force evaluations total, identical to the streamed
+leapfrog loop, equal up to fp32 reassociation of the merged kicks.
 """
 
 from __future__ import annotations
@@ -66,30 +84,34 @@ from mini_nbody_tpu.ops.pallas_compat import (
     fast_rsqrt_cube,
 )
 
-#: VMEM bound: two (8, N) state buffers + two (8, N) accumulators at
+#: VMEM bound: one (8, N)-equivalent state buffer + two accumulators at
 #: 32 B/body each, plus tile temporaries (module docstring).
-RESIDENT_SYM_MAX_N = 65536
+RESIDENT_SYM_MAX_N = 131072
 
 
-def _weights(src, pw_ref, ci, cj, softening, fast):
-    """Masked pair-weight block w (T_i, T_j) from the transposed j-block and
-    the pre-transposed i-tile (pw_ref, built once per (step, i))."""
-    pi = pw_ref[:]  # (T, 8) columns of the i-tile
-    bj = src[:, cj]  # (8, T) rows of the j-block
-    dx = bj[0:1, :] - pi[:, 0:1]
-    dy = bj[1:2, :] - pi[:, 1:2]
-    dz = bj[2:3, :] - pi[:, 2:3]
-    d2 = dx * dx + dy * dy + dz * dz
-    r2 = d2 + jnp.asarray(softening, jnp.float32)
-    if fast:
-        w = jax.lax.rsqrt((r2 * r2) * r2)
-    else:
-        inv = jax.lax.rsqrt(r2)
-        w = (inv * inv) * inv
-    # Self/coincident pairs (and FAR-vs-FAR pad pairs): mask on the
-    # pre-softening distance, exactly like ops/sym_mxu_force._w_block.
-    w = jnp.where(d2 == 0.0, jnp.asarray(0.0, w.dtype), w)
-    return w, dx, dy, dz
+def auto_tile(n: int, mxu: bool) -> int:
+    """Measured-best tile. Per-band iteration cost has a ~1-2 us floor, so
+    bigger tiles = fewer bands; the ceiling is the (T,T) VPU temporaries:
+    mxu mode keeps ~2 alive and fits 1024, the VPU path also keeps the
+    three weighted-displacement products and overflows VMEM by ~1 MB at
+    1024 (compile-verified), so it caps at 768. Above N=32768 the
+    block-state and accumulator buffers force 512. Below the cap, prefer
+    the candidate with the least padding (768 at n=1024 would pad to 1536
+    — 2.25x the pair work of tile 512), largest tile on ties."""
+    cap = 512 if n > 32768 else (1024 if mxu else 768)
+    best = None
+    for t in (1024, 896, 768, 640, 512, 384, 256, 128):
+        if t > cap:
+            continue
+        key = (round_up(n, t), -t)
+        if best is None or key < best[0]:
+            best = (key, t)
+    return best[1]
+
+
+def _blk(ref, b):
+    """(8, T) state/accumulator block b (dynamic sublane slice)."""
+    return ref[pl.ds(b * 8, 8), :]
 
 
 def _mxu_operand(blk):
@@ -116,51 +138,50 @@ def _pad8(rows3):
         [rows3, jnp.zeros((5, rows3.shape[1]), jnp.float32)], axis=0)
 
 
-def _force_block(src, rows_ref, cols_ref, pw_ref, id_ref, i, d, *, tile,
-                 nb, softening, masses, mxu, fast):
-    ci = pl.ds(i * tile, tile)
+def _force_block(st_ref, rows_ref, cols_ref, pw_ref, i, d,
+                 *, tile, nb, softening, masses, mxu, fast):
     jg = jax.lax.rem(i + d, jnp.int32(nb))
-    cj = pl.ds(jg * tile, tile)
+    bj = _blk(st_ref, jg)  # (8, T)
 
-    @pl.when(d == 0)
-    def _transpose_i_tile():
-        # (T, 8) = I(T,T) x (8,T)^T : the standard MXU-identity transpose
-        # (exact under HIGHEST), done once per i-tile per step.
-        pw_ref[:] = jax.lax.dot_general(
-            id_ref[:], src[:, ci], (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+    pi = pw_ref[:]  # (T, 8) columns of the i-tile (built in _kernel at d==0)
+    dx = bj[0:1, :] - pi[:, 0:1]
+    dy = bj[1:2, :] - pi[:, 1:2]
+    dz = bj[2:3, :] - pi[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
+    r2 = d2 + jnp.asarray(softening, jnp.float32)
+    if fast:
+        w = jax.lax.rsqrt((r2 * r2) * r2)
+    else:
+        inv = jax.lax.rsqrt(r2)
+        w = (inv * inv) * inv
+    # Self/coincident pairs (and FAR-vs-FAR pad pairs): mask on the
+    # pre-softening distance, exactly like ops/sym_mxu_force._w_block.
+    w = jnp.where(d2 == 0.0, jnp.asarray(0.0, w.dtype), w)
 
-    w, dx, dy, dz = _weights(src, pw_ref, ci, cj, softening, fast)
-
+    ri = pl.ds(i * 8, 8)
+    rj = pl.ds(jg * 8, 8)
     if mxu:
-        # Row sums transposed: (8,T_i) = vjT (8,T_j) . W^T — lands directly
-        # in the transposed accumulator, no reshuffle.
-        srt = _mm(_mxu_operand(src[:, cj]), w, ((1,), (1,)))
-        rows_ref[:, ci] = rows_ref[:, ci] + srt
+        # Row sums transposed, (8,T_i) = vjT . W^T, straight into the
+        # block-major accumulator. (The standard-orientation alternative —
+        # wide (T,8) scratch accumulated over d, transposed out once per
+        # i — MEASURED SLOWER on chip: 231 vs 248 G/s at N=65536; the
+        # per-band iteration floor dominates, not matmul orientation.)
+        srt = _mm(_mxu_operand(bj), w, ((1,), (1,)))
+        rows_ref[ri, :] = rows_ref[ri, :] + srt
 
         @pl.when(d > 0)  # diagonal block: rows already cover both orders
         def _reactions():
-            sct = _mm(_mxu_operand(src[:, ci]), w, ((1,), (0,)))
-            cols_ref[:, cj] = cols_ref[:, cj] + sct
+            sct = _mm(_mxu_operand(_blk(st_ref, i)), w, ((1,), (0,)))
+            cols_ref[rj, :] = cols_ref[rj, :] + sct
     else:
-        bj = src[:, cj]
-        pi = pw_ref[:]
         wr = w * bj[6:7, :] if masses else w  # m_j scales force on i
         tx, ty, tz = wr * dx, wr * dy, wr * dz
         pack = jnp.concatenate(
             [jnp.sum(tx, axis=1, keepdims=True),
              jnp.sum(ty, axis=1, keepdims=True),
-             jnp.sum(tz, axis=1, keepdims=True),
-             jnp.zeros((tile, 5), jnp.float32)], axis=1)
-        # (8, T_i) = pack^T via the identity (exact), into the transposed
-        # row accumulator.
-        rows_ref[:, ci] = rows_ref[:, ci] + jax.lax.dot_general(
-            pack, id_ref[:], (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+             jnp.sum(tz, axis=1, keepdims=True)], axis=1)
+        rows_ref[ri, :] = rows_ref[ri, :] + _pad8(
+            jnp.swapaxes(pack, 0, 1))
 
         @pl.when(d > 0)
         def _reactions_vpu():
@@ -174,69 +195,64 @@ def _force_block(src, rows_ref, cols_ref, pw_ref, id_ref, i, d, *, tile,
                  jnp.sum(cy, axis=0, keepdims=True),
                  jnp.sum(cz, axis=0, keepdims=True)], axis=0))
             # reaction on j is -sum_i w m_i (p_j - p_i): accumulate negated
-            cols_ref[:, cj] = cols_ref[:, cj] - react
+            cols_ref[rj, :] = cols_ref[rj, :] - react
 
 
-def _integrate_block(src, dst, rows_ref, cols_ref, b, *, tile, dt, mxu):
-    cb = pl.ds(b * tile, tile)
-    blk = src[:, cb]
+def _integrate_block(st_ref, rows_ref, cols_ref, b, *, dt, mxu):
+    rb = pl.ds(b * 8, 8)
+    blk = st_ref[rb, :]
     if mxu:
-        s = rows_ref[:, cb] + cols_ref[:, cb]
+        s = rows_ref[rb, :] + cols_ref[rb, :]
         s4 = s[0:4, :] + s[4:8, :]  # fold the [hi | lo] split columns
         f = s4[0:3, :] - blk[0:3, :] * s4[3:4, :]
     else:
-        f = rows_ref[0:3, cb] + cols_ref[0:3, cb]
+        s = rows_ref[rb, :] + cols_ref[rb, :]
+        f = s[0:3, :]
     vnew = blk[3:6, :] + dt * f
     xnew = blk[0:3, :] + dt * vnew
-    dst[:, cb] = jnp.concatenate([xnew, vnew, blk[6:8, :]], axis=0)
+    st_ref[rb, :] = jnp.concatenate([xnew, vnew, blk[6:8, :]], axis=0)
 
 
-def _kernel(in_ref, a_ref, b_ref, rows_ref, cols_ref, pw_ref, id_ref, *,
+def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, id_ref, *,
             tile, nb, nd, dt, softening, masses, mxu, fast):
-    del in_ref  # aliased to a_ref: the initial state IS buffer A
+    del in_ref, id_ref  # aliased input / placeholder (see pallas_call)
     s = pl.program_id(0)
     i = pl.program_id(1)
     d = pl.program_id(2)
-
-    @pl.when(jnp.logical_and(s == 0, jnp.logical_and(i == 0, d == 0)))
-    def _build_identity():
-        id_ref[:] = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-        ).astype(jnp.float32)
 
     @pl.when(jnp.logical_and(i == 0, d == 0))
     def _zero_accumulators():
         rows_ref[:] = jnp.zeros_like(rows_ref)
         cols_ref[:] = jnp.zeros_like(cols_ref)
 
-    def body(src, dst):
-        # Band-active mask: on even nb the antipodal band d = nb/2 pairs
-        # each block couple twice; keep the lower-index visit
-        # (ops/sym_mxu_force._tri_kernel).
-        force_on = jnp.logical_and(
-            i < nb, jnp.logical_or(d * 2 != nb, i * 2 < nb))
+    is_force = i < nb
 
-        @pl.when(force_on)
-        def _force():
-            _force_block(src, rows_ref, cols_ref, pw_ref, id_ref, i, d,
-                         tile=tile, nb=nb, softening=softening,
-                         masses=masses, mxu=mxu, fast=fast)
+    @pl.when(jnp.logical_and(is_force, d == 0))
+    def _transpose_i_tile():
+        # (T, 8) column operands of the i-tile for the pair-distance
+        # broadcast: one native sublane<->lane transpose per (step, i).
+        # (An MXU-identity transpose at Precision.HIGHEST costs ~17 us a
+        # call — measured — and was most of the per-step overhead at small
+        # N; jnp.swapaxes lowers to the native transpose and is exact.)
+        pw_ref[:] = jnp.swapaxes(_blk(st_ref, i), 0, 1)
 
-        blk = (i - nb) * nd + d
+    # Band-active mask: on even nb the antipodal band d = nb/2 pairs each
+    # block couple twice; keep the lower-index visit
+    # (ops/sym_mxu_force._tri_kernel).
+    force_on = jnp.logical_and(
+        is_force, jnp.logical_or(d * 2 != nb, i * 2 < nb))
 
-        @pl.when(jnp.logical_and(i >= nb, blk < nb))
-        def _integrate():
-            _integrate_block(src, dst, rows_ref, cols_ref, blk,
-                             tile=tile, dt=dt, mxu=mxu)
+    @pl.when(force_on)
+    def _force():
+        _force_block(st_ref, rows_ref, cols_ref, pw_ref,
+                     i, d, tile=tile, nb=nb, softening=softening,
+                     masses=masses, mxu=mxu, fast=fast)
 
-    @pl.when(s % 2 == 0)
-    def _even():
-        body(a_ref, b_ref)
+    blk = (i - nb) * nd + d
 
-    @pl.when(s % 2 == 1)
-    def _odd():
-        body(b_ref, a_ref)
+    @pl.when(jnp.logical_and(i >= nb, blk < nb))
+    def _integrate():
+        _integrate_block(st_ref, rows_ref, cols_ref, blk, dt=dt, mxu=mxu)
 
 
 @functools.partial(
@@ -273,10 +289,10 @@ def simulate_resident_sym(
         raise ValueError("simulate_resident_sym needs steps >= 1")
     masses = mass is not None
     if tile is None:
-        tile = 512
+        tile = auto_tile(n, mxu)
     tile = min(tile, round_up(n, 8))
     if not interpret:
-        tile = round_up(tile, 128)  # 128-aligned lane offsets (Mosaic)
+        tile = round_up(tile, 128)
     np_ = round_up(n, tile)
     nb = np_ // tile
     nd = nb // 2 + 1
@@ -292,31 +308,29 @@ def simulate_resident_sym(
         vel = jnp.pad(vel, ((0, pad), (0, 0)))
     m = (jnp.pad(mass.astype(jnp.float32), (0, pad)) if masses
          else jnp.ones((np_,), jnp.float32))
-    wide0 = jnp.concatenate(
+    # (8, Np) component rows -> sublane-major blocks (8*nb, tile).
+    wide = jnp.concatenate(
         [pos.T, vel.T, m[None, :], jnp.zeros((1, np_), jnp.float32)], axis=0)
+    wide = (wide.reshape(8, nb, tile).transpose(1, 0, 2)
+            .reshape(8 * nb, tile))
 
     fast = fast_rsqrt_cube(softening)
     vm = pltpu.VMEM
-    out_a, out_b = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, tile=tile, nb=nb, nd=nd, dt=float(dt),
                           softening=float(softening), masses=masses,
                           mxu=mxu, fast=fast),
         grid=(steps, nb + n_int, nd),
-        in_specs=[pl.BlockSpec((8, np_), lambda s, i, d: (0, 0),
+        in_specs=[pl.BlockSpec((8 * nb, tile), lambda s, i, d: (0, 0),
                                memory_space=vm)],
-        out_specs=[
-            pl.BlockSpec((8, np_), lambda s, i, d: (0, 0), memory_space=vm),
-            pl.BlockSpec((8, np_), lambda s, i, d: (0, 0), memory_space=vm),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, np_), jnp.float32),
-            jax.ShapeDtypeStruct((8, np_), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((8 * nb, tile), lambda s, i, d: (0, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((8 * nb, tile), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, np_), jnp.float32),   # transposed row sums
-            pltpu.VMEM((8, np_), jnp.float32),   # transposed reaction sums
-            pltpu.VMEM((tile, 8), jnp.float32),  # i-tile column operands
-            pltpu.VMEM((tile, tile), jnp.float32),  # transpose identity
+            pltpu.VMEM((8 * nb, tile), jnp.float32),  # block-major row sums
+            pltpu.VMEM((8 * nb, tile), jnp.float32),  # block-major reactions
+            pltpu.VMEM((tile, 8), jnp.float32),       # i-tile columns
+            pltpu.VMEM((tile, tile), jnp.float32),    # transpose identity
         ],
         input_output_aliases={0: 0},
         compiler_params=_CompilerParams(
@@ -328,11 +342,9 @@ def simulate_resident_sym(
             transcendentals=(steps * np_ * np_) // 2,
         ),
         interpret=interpret,
-    )(wide0)
+    )(wide)
 
-    # Step s reads the parity buffer and writes the other: the final step
-    # steps-1 wrote B when even, A when odd.
-    final = out_b if (steps - 1) % 2 == 0 else out_a
+    final = out.reshape(nb, 8, tile).transpose(1, 0, 2).reshape(8, np_)
     return final[0:3, :n].T, final[3:6, :n].T
 
 

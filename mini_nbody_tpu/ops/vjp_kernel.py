@@ -541,3 +541,180 @@ def vjp_pos_pallas(
         interpret=interpret,
     )(pk, g, pjt, gjt)
     return out[:n]
+
+
+def _onesided_grad_block(pa, ga, pbt, softening, masses):
+    """Gradient of the ordered pairs (a <- b) with cotangents on the A side
+    only — the per-device tile of the 2-D grid backward, where the mesh
+    tiles ALL ordered pairs as (row group) x (col group) and each device
+    owns the receiver cotangents g_rows of its row group.
+
+    With d = p_b - p_a, the pair force on a is w m_b d, so its cotangent
+    contribution is
+
+        t = 3 u m_b (g_a . d) d - w m_b g_a        (u = s^-5/2)
+
+    to pos_bar_a, and exactly -t to pos_bar_b (translation invariance) —
+    _pair_grad_block's antisymmetric t specialized to g_b = 0, with the
+    dead g_b products removed (~1/3 fewer VPU ops). Returns (row sums of t
+    over b, column sums of t over a); caller adds rows to a_bar and
+    SUBTRACTS the columns from b_bar."""
+    xa, ya, za = pa[:, 0:1], pa[:, 1:2], pa[:, 2:3]
+    dx = pbt[0:1, :] - xa
+    dy = pbt[1:2, :] - ya
+    dz = pbt[2:3, :] - za
+    d2 = dx * dx + dy * dy + dz * dz
+    s = d2 + jnp.asarray(softening, dx.dtype)
+    inv = jax.lax.rsqrt(s)
+    inv2 = inv * inv
+    w = inv2 * inv
+    u = w * inv2
+    zero = d2 == 0.0
+    w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
+    u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
+
+    gax, gay, gaz = ga[:, 0:1], ga[:, 1:2], ga[:, 2:3]
+    dot_a = gax * dx + gay * dy + gaz * dz
+    if masses:
+        mb = pbt[3:4, :]
+        coeff = 3.0 * (u * mb * dot_a)
+        wmb = w * mb
+        tx = coeff * dx - wmb * gax
+        ty = coeff * dy - wmb * gay
+        tz = coeff * dz - wmb * gaz
+    else:
+        coeff = 3.0 * (u * dot_a)
+        tx = coeff * dx - w * gax
+        ty = coeff * dy - w * gay
+        tz = coeff * dz - w * gaz
+    rows = jnp.concatenate(
+        [jnp.sum(tx, axis=1, keepdims=True),
+         jnp.sum(ty, axis=1, keepdims=True),
+         jnp.sum(tz, axis=1, keepdims=True)], axis=1)
+    cols = jnp.concatenate(
+        [jnp.sum(tx, axis=0, keepdims=True),
+         jnp.sum(ty, axis=0, keepdims=True),
+         jnp.sum(tz, axis=0, keepdims=True)], axis=0)
+    return rows, cols
+
+
+def _pair_vjp_kernel(pa_ref, ga_ref, pbt_ref, rows_ref, colsT_ref, *,
+                     softening, tile, masses):
+    """Cross-set step (i in A, j in B): rows accumulate per-block over the
+    consecutive j revisits; colsT is the whole-B constant-index buffer."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_cols():
+        colsT_ref[:] = jnp.zeros_like(colsT_ref)
+
+    rows, cols = _onesided_grad_block(
+        pa_ref[:], ga_ref[:], pbt_ref[:], softening, masses)
+
+    @pl.when(j == 0)
+    def _rows_init():
+        rows_ref[:] = rows
+
+    @pl.when(j > 0)
+    def _rows_acc():
+        rows_ref[:] = rows_ref[:] + rows
+
+    cj = pl.ds(j * tile, tile)
+    colsT_ref[:, cj] = colsT_ref[:, cj] - cols
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret"),
+)
+def vjp_pos_pair(
+    pos_a,
+    g_a,
+    pos_b,
+    mass_a=None,
+    mass_b=None,
+    softening: float = SOFTENING,
+    tile: int = 512,
+    interpret: bool = False,
+):
+    """Both-sided position cotangents of the ordered pairs (a <- b), with
+    receiver cotangents g_a only: returns (a_bar (Na,3), b_bar (Nb,3)).
+
+    The building block of the O(N/sqrt(P)) 2-D grid backward
+    (parallel/sharded.py): the mesh tiles all ordered pairs as row group x
+    col group, each device runs this kernel once on its (rows, cols) tile,
+    and two psum_scatters (one per mesh axis) reduce a_bar/b_bar to the
+    owning shards. Self-coincidences (a body present in both groups meets
+    itself) hit the d2 == 0 mask, matching the forward's self-pair
+    semantics. Masses optional (both or neither); mass cotangents are zero
+    by contract (ops/autodiff.py)."""
+    if (mass_a is None) != (mass_b is None):
+        raise ValueError("vjp_pos_pair needs both masses or neither")
+    na, nb_n = pos_a.shape[0], pos_b.shape[0]
+    masses = mass_a is not None
+    pos_a = pos_a.astype(jnp.float32)
+    g_a = g_a.astype(jnp.float32)
+    pos_b = pos_b.astype(jnp.float32)
+
+    t = min(tile, round_up(na, 8), round_up(nb_n, 8))
+    if not interpret:
+        t = round_up(t, 128)  # 128-aligned colsT lane offsets (Mosaic)
+    na_p = round_up(na, t)
+    nb_p = round_up(nb_n, t)
+    if na_p != na:
+        # Zero-padded receivers are inert: g_a = 0 kills both their row
+        # gradient and their column contribution.
+        pos_a = jnp.pad(pos_a, ((0, na_p - na), (0, 0)))
+        g_a = jnp.pad(g_a, ((0, na_p - na), (0, 0)))
+        if masses:
+            mass_a = jnp.pad(mass_a.astype(jnp.float32), (0, na_p - na))
+    if nb_p != nb_n:
+        from mini_nbody_tpu.utils.config import FAR
+
+        # FAR-padded sources: w and u underflow to exact 0.
+        pos_b = jnp.pad(pos_b, ((0, nb_p - nb_n), (0, 0)),
+                        constant_values=FAR)
+        if masses:
+            mass_b = jnp.pad(mass_b.astype(jnp.float32), (0, nb_p - nb_n))
+
+    if masses:
+        pa = jnp.concatenate(
+            [pos_a, mass_a.astype(jnp.float32)[:, None]], axis=1)
+        pbt = jnp.concatenate(
+            [pos_b.T, mass_b.astype(jnp.float32)[None, :]], axis=0)
+    else:
+        pa = pos_a
+        pbt = pos_b.T
+    k = pa.shape[1]
+
+    vm = pltpu.VMEM
+    pairs = na_p * nb_p
+    rows, colsT = pl.pallas_call(
+        functools.partial(_pair_vjp_kernel, softening=float(softening),
+                          tile=t, masses=masses),
+        grid=(na_p // t, nb_p // t),
+        in_specs=[
+            pl.BlockSpec((t, k), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((t, 3), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((k, t), lambda i, j: (0, j), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((t, 3), lambda i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, nb_p), lambda i, j: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((na_p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, nb_p), jnp.float32),
+        ],
+        compiler_params=_CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=26 * pairs,
+            bytes_accessed=(na_p + nb_p) * 24 * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(pa, g_a, pbt)
+    return rows[:na], colsT.T[:nb_n]

@@ -98,10 +98,30 @@ MAX_DEVICE_SECONDS_PER_DISPATCH = 120.0
 _CONSERVATIVE_GINTER_S = 100.0
 
 
-def max_steps_per_dispatch(n: int, n_devices: int = 1) -> int:
+def _pacing_rate(cfg: Optional[SimConfig]) -> float:
+    """Per-chip GInteractions/s for watchdog segment sizing: the autotune
+    cache's measured rate (halved for safety margin) when one exists for
+    this config's key, else the flat conservative floor — so a tuned
+    sym_mxu run at N=16M sizes ~2x fewer dispatch syncs than the 4x-
+    conservative default would."""
+    if cfg is not None:
+        try:
+            from mini_nbody_tpu.utils.autotune import cached_rate
+
+            rate = cached_rate(cfg)
+        except Exception:
+            rate = None
+        if rate:
+            return max(_CONSERVATIVE_GINTER_S, 0.5 * rate)
+    return _CONSERVATIVE_GINTER_S
+
+
+def max_steps_per_dispatch(n: int, n_devices: int = 1,
+                           cfg: Optional[SimConfig] = None) -> int:
     """Steps per XLA dispatch that keep estimated device time under the
-    watchdog cap (O(N^2/P) pairs/step at a conservative per-chip rate)."""
-    per_step = float(n) * n / n_devices / (_CONSERVATIVE_GINTER_S * 1e9)
+    watchdog cap (O(N^2/P) pairs/step at the pacing rate — conservative
+    flat default, or the autotune cache's measured rate when available)."""
+    per_step = float(n) * n / n_devices / (_pacing_rate(cfg) * 1e9)
     return max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / max(per_step, 1e-12)))
 
 
@@ -131,52 +151,16 @@ def simulate(
     device throughout.
     """
     steps = cfg.steps if steps is None else steps
-    if (cfg.backend == "auto" and cfg.integrator == "euler"
-            and not cfg.fused_integrate and steps >= 2
-            and jax.default_backend() == "tpu"):
-        from mini_nbody_tpu.ops.resident import (
-            RESIDENT_MAX_N, simulate_resident)
-
-        if cfg.n <= RESIDENT_MAX_N:
-            # Small-N fast path: the whole trajectory runs inside ONE
-            # kernel launch with the state resident in VMEM — 3.9x the
-            # streamed per-step path at N=4096, where every backend is
-            # launch-bound (ops/resident.py). Long runs are host-segmented
-            # into watchdog-safe dispatches like every other path (the
-            # per-step estimate uses the same conservative rate).
-            # Pair-rate estimate PLUS a per-grid-iteration overhead term: at
-            # small N fixed per-iteration cost dominates (N=128 is ~1-2 us
-            # per step, not the ~0.16 us the pair count suggests), and a
-            # several-hundred-million-step request must still stay under the
-            # ~5-min tunnel watchdog in one dispatch.
-            tile = 1024 if cfg.n <= 4096 else 512
-            nb = -(-cfg.n // tile)
-            per_step = (float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
-                        + 2e-6 * nb * nb)
-            seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / per_step))
-            interp = cfg.resolve_interpret()
-            pos, vel = state.pos, state.vel
-            mass = state.mass if cfg.use_masses else None
-            done = 0
-            while done < steps:
-                k = min(seg, steps - done)
-                pos, vel = simulate_resident(
-                    pos, vel, mass,
-                    steps=k, dt=float(cfg.dt),
-                    softening=float(cfg.softening), interpret=interp,
-                )
-                done += k
-                if done < steps:
-                    _sync(pos)
-            return BodyState(pos=pos, vel=vel, mass=state.mass)
-    per_step = float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
+    if _route_resident(cfg, steps):
+        return _simulate_resident(cfg, state, steps)
+    per_step = float(cfg.n) ** 2 / (_pacing_rate(cfg) * 1e9)
     if per_step > MAX_DEVICE_SECONDS_PER_DISPATCH:
         # One force pass alone exceeds the watchdog (N >~ 3.5M at the
         # conservative rate): step from the host with the chunk-group-
         # segmented symmetric force (bit-identical to backend 'sym').
         return _simulate_hostseg(cfg, state, steps)
     carry = init_carry(cfg, state)
-    seg = max_steps_per_dispatch(cfg.n)
+    seg = max_steps_per_dispatch(cfg.n, cfg=cfg)
     if steps <= seg:
         state, _ = _simulate_scan(cfg, carry, steps)
         return state
@@ -187,6 +171,82 @@ def simulate(
     if rem:
         carry = _simulate_scan(cfg, carry, rem)
     return carry[0]
+
+
+#: Auto-routing crossovers for the resident kernel (ops/resident_sym.py)
+#: vs the streamed per-step path, per precision class, measured on v5e
+#: with the amortized harness (us/step, resident vs streamed): N=512:
+#: 5.3 vs 11.4 (mxu) / 6.5 vs 10.6 (fp32); N=1024: 8.5 vs 12.4 / 11.9 vs
+#: 14.3; N=2048: 23.0 vs 23.5 / 34.7 vs 27.3; N=4096 the streamed path
+#: wins both classes (it is already 0.56-0.68 of roofline there, and
+#: 0.93+ from N=16384 — the resident regime is genuinely small N only;
+#: round 2's "3.9x at N=4096" was an artifact of the un-amortized
+#: harness). cfg.resident=True forces the resident path at any N up to
+#: its VMEM cap; False pins the streamed path.
+RESIDENT_AUTO_MAX_N = {"sym": 1024, "sym_mxu": 2048}
+
+
+def _route_resident(cfg: SimConfig, steps: int) -> bool:
+    """Whether simulate() runs the whole trajectory in the resident kernel.
+    Routing preserves the precision class: 'sym' (and 'auto') take the
+    fp32-exact VPU mode, 'sym_mxu' the bf16-accumulate MXU mode."""
+    if cfg.mesh_shape or cfg.fused_integrate or steps < 1:
+        return False
+    if cfg.resident is not None:
+        return cfg.resident
+    import jax
+
+    eff = cfg.effective_backend()
+    return (jax.default_backend() == "tpu" and steps >= 2
+            and eff in RESIDENT_AUTO_MAX_N
+            and cfg.n <= RESIDENT_AUTO_MAX_N[eff])
+
+
+def _simulate_resident(cfg: SimConfig, state: BodyState, steps: int):
+    """Whole-trajectory resident run (ops/resident_sym.py), watchdog-
+    segmented; leapfrog is the same Euler kernel on half-kick-staggered
+    velocities with one streamed force pass at each end (module docstring
+    of ops/resident_sym.py)."""
+    from mini_nbody_tpu.ops.resident_sym import (
+        _class_force, auto_tile, simulate_resident_sym)
+
+    interp = cfg.resolve_interpret()
+    mxu = cfg.effective_backend() == "sym_mxu"
+    mass = state.mass if cfg.use_masses else None
+    dt = float(cfg.dt)
+    tile = cfg.resident_tile or auto_tile(cfg.n, mxu)
+    # Watchdog pacing: conservative pair rate plus the measured ~2 us
+    # per-band-iteration floor (a huge-step request at tiny N is
+    # iteration-bound, not pair-bound).
+    nb = -(-cfg.n // tile)
+    slots = (nb + 1) * (nb // 2 + 1) + nb
+    per_step = (float(cfg.n) ** 2 / (_pacing_rate(cfg) * 1e9)
+                + 2e-6 * slots)
+    seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / per_step))
+
+    pos, vh = state.pos, state.vel
+    if cfg.integrator == "leapfrog":
+        force = _class_force(mxu, float(cfg.softening), interp)
+        a0 = force(pos, mass)
+        vh = vh + (0.5 * dt) * a0
+        pos = pos + dt * vh
+        ksteps = steps - 1
+    else:
+        ksteps = steps
+    done = 0
+    while done < ksteps:
+        k = min(seg, ksteps - done)
+        pos, vh = simulate_resident_sym(
+            pos, vh, mass, steps=k, dt=dt, softening=float(cfg.softening),
+            mxu=mxu, tile=tile, interpret=interp)
+        done += k
+        if done < ksteps:
+            _sync(pos)
+    if cfg.integrator == "leapfrog":
+        vel = vh + (0.5 * dt) * force(pos, mass)
+    else:
+        vel = vh
+    return BodyState(pos=pos, vel=vel, mass=state.mass)
 
 
 def _simulate_hostseg(cfg: SimConfig, state: BodyState, steps: int) -> BodyState:
@@ -294,14 +354,14 @@ def trajectory(cfg: SimConfig, state: BodyState, steps: int, save_every: int = 1
     """
     if steps % save_every != 0:
         raise ValueError("steps must be divisible by save_every")
-    per_step = float(cfg.n) ** 2 / (_CONSERVATIVE_GINTER_S * 1e9)
+    per_step = float(cfg.n) ** 2 / (_pacing_rate(cfg) * 1e9)
     if per_step > MAX_DEVICE_SECONDS_PER_DISPATCH:
         # One force pass alone exceeds the watchdog: host-stepped loop with
         # the segmented force, collecting snapshots on the way (the
         # trajectory analog of _simulate_hostseg).
         return _trajectory_hostseg(cfg, state, steps, save_every)
     carry = init_carry(cfg, state)
-    seg = max_steps_per_dispatch(cfg.n)
+    seg = max_steps_per_dispatch(cfg.n, cfg=cfg)
     seg = max(save_every, seg - seg % save_every)  # multiple of save_every
     if steps <= seg:
         carry, hist = _trajectory_scan(cfg, carry, steps, save_every)

@@ -29,6 +29,15 @@ from mini_nbody_tpu.utils.config import SimConfig
 #: tile (VMEM-bounded from above); streaming kernels take (tile_i, tile_j).
 SYM_TILES = (512, 768, 896, 1024, 1152)
 STREAM_TILES = ((256, 2048), (512, 1024), (512, 2048), (1024, 1024))
+#: Chunk candidates for the symmetric kernels' cross-chunk decomposition
+#: (only measured when n spans multiple chunks; at N=1M both measured
+#: within noise on v5e — 413.6 vs 415.0 G/s).
+SYM_CHUNKS = (131072, 262144)
+#: Resident-kernel tiles (ops/resident_sym.py; measured only for configs
+#: that route resident).
+RESIDENT_TILES = (512, 640, 768, 896, 1024)
+#: Symmetric-backward tiles (vjp_pos_sym / vjp_pos_sym_mxu).
+BWD_TILES = (512, 640, 768, 896)
 
 CACHE_ENV = "NBODY_TUNE_CACHE"
 
@@ -83,17 +92,70 @@ def _default_measure(cfg: SimConfig, reps: int) -> float:
     auto_inner(n) scanned steps per sync — a single un-amortized pass would
     be swamped by the ~33 ms dispatch overhead at small N (CLAUDE.md) and
     cache a noise winner. Times the full step (force + O(N) integrate),
-    matching bench.py's methodology."""
+    matching bench.py's methodology. cfg.resident=True candidates time the
+    resident kernel instead (its tile is what resident_tile tunes)."""
+    import time
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from mini_nbody_tpu.models import init
+
+    state = init.uniform_random(jax.random.key(0), cfg.n)
+    if cfg.resident:
+        from mini_nbody_tpu.ops.resident_sym import simulate_resident_sym
+        from mini_nbody_tpu.utils.harness import auto_inner
+
+        steps = auto_inner(cfg.n)
+        mxu = cfg.effective_backend() == "sym_mxu"
+
+        def once():
+            t0 = time.perf_counter()
+            pos, _ = simulate_resident_sym(
+                state.pos, state.vel,
+                state.mass if cfg.use_masses else None,
+                steps=steps, dt=float(cfg.dt),
+                softening=float(cfg.softening), mxu=mxu,
+                tile=cfg.resident_tile,
+                interpret=cfg.resolve_interpret())
+            np.asarray(jax.device_get(pos[0, 0]))
+            return time.perf_counter() - t0
+
+        once()
+        return min(once() for _ in range(reps)) / steps
+
     from mini_nbody_tpu.sim import make_step_fn
     from mini_nbody_tpu.utils.harness import time_step_fn
 
-    state = init.uniform_random(jax.random.key(0), cfg.n)
     acc = jnp.zeros_like(state.pos)
     return time_step_fn(make_step_fn(cfg), (state, acc), n=cfg.n, reps=reps)
+
+
+def _default_measure_bwd(cfg: SimConfig, reps: int) -> float:
+    """Seconds per backward pass of the symmetric VJP kernel at
+    cfg.sym_bwd_tile (the backward family's tunable)."""
+    import jax
+
+    from mini_nbody_tpu.models import init
+    from mini_nbody_tpu.utils.harness import time_fn
+
+    state = init.uniform_random(jax.random.key(0), cfg.n)
+    g = state.pos + 1.0
+    mass = state.mass if cfg.use_masses else None
+    interpret = cfg.resolve_interpret()
+    tile = cfg.sym_bwd_tile
+    if cfg.bf16_class():
+        from mini_nbody_tpu.ops.vjp_mxu import vjp_pos_sym_mxu as vjp
+    else:
+        from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_sym as vjp
+    kw = {} if tile is None else {"tile": tile}
+
+    def run():
+        return vjp(state.pos, g, mass, softening=float(cfg.softening),
+                   interpret=interpret, **kw)
+
+    return time_fn(run, reps=reps)
 
 
 def _candidates(cfg: SimConfig):
@@ -107,7 +169,9 @@ def _candidates(cfg: SimConfig):
 
 def _params(cfg: SimConfig) -> dict:
     return {"sym_tile": cfg.sym_tile, "sym_chunk": cfg.sym_chunk,
-            "tile_i": cfg.tile_i, "tile_j": cfg.tile_j}
+            "tile_i": cfg.tile_i, "tile_j": cfg.tile_j,
+            "sym_bwd_tile": cfg.sym_bwd_tile,
+            "resident_tile": cfg.resident_tile}
 
 
 #: Tiling fields each backend family actually tunes; a cache hit applies
@@ -115,8 +179,8 @@ def _params(cfg: SimConfig) -> dict:
 #: `run --autotune --sym-chunk 65536` keeps the explicit chunk instead of
 #: resetting it to the tune-time value.
 FAMILY_PARAMS = {
-    "sym": ("sym_tile", "sym_chunk"),
-    "sym_mxu": ("sym_tile", "sym_chunk"),
+    "sym": ("sym_tile", "sym_chunk", "sym_bwd_tile", "resident_tile"),
+    "sym_mxu": ("sym_tile", "sym_chunk", "sym_bwd_tile", "resident_tile"),
     "pallas": ("tile_i", "tile_j"),
     "mxu": ("tile_i", "tile_j"),
 }
@@ -133,31 +197,10 @@ def _apply_cached(cfg: SimConfig, params: dict) -> SimConfig:
     return cfg.replace(**keep)
 
 
-def tune(
-    cfg: SimConfig,
-    reps: int = 2,
-    use_cache: bool = True,
-    measure: Optional[Callable[[SimConfig, int], float]] = None,
-    path: Optional[pathlib.Path] = None,
-) -> SimConfig:
-    """Return cfg with the measured-fastest tiling for its backend applied.
-
-    Candidates that fail to compile (e.g. a tile exceeding VMEM) are
-    skipped. `measure` is injectable for tests; the default times a real
-    force pass. With use_cache, a prior result for the same (device,
-    backend, mass-mode, N-bucket) key is applied without re-measuring.
-    """
-    measure = measure or _default_measure
-    path = path or cache_path()
-    key = _key(cfg)
-    if use_cache:
-        hit = _load(path).get(key)
-        if hit:
-            return _apply_cached(cfg, hit["params"])
-
+def _sweep(cands, measure, reps, results):
+    """(best_cand, best_sec) over candidates; failed compiles recorded."""
     best, best_sec = None, float("inf")
-    results = {}
-    for cand in _candidates(cfg):
+    for cand in cands:
         try:
             sec = measure(cand, reps)
         except Exception as e:  # VMEM-exceeded compiles etc.
@@ -166,9 +209,74 @@ def tune(
         results[json.dumps(_params(cand))] = sec
         if sec < best_sec:
             best, best_sec = cand, sec
+    return best, best_sec
+
+
+def tune(
+    cfg: SimConfig,
+    reps: int = 2,
+    use_cache: bool = True,
+    measure: Optional[Callable[[SimConfig, int], float]] = None,
+    path: Optional[pathlib.Path] = None,
+    backward: bool = False,
+    measure_bwd: Optional[Callable[[SimConfig, int], float]] = None,
+) -> SimConfig:
+    """Return cfg with the measured-fastest tiling for its backend applied.
+
+    Phases (each a fresh remote Mosaic compile per candidate — CLAUDE.md):
+      1. kernel-family tile sweep (sym_tile / (tile_i, tile_j));
+      2. sym_chunk sweep at the winning tile, only when N spans multiple
+         chunks (the cross-chunk decomposition is in play);
+      3. resident_tile sweep, only when cfg.resident routes the resident
+         kernel (cfg.resident=True);
+      4. with backward=True: sym_bwd_tile sweep of the symmetric VJP
+         kernel matching the config's precision class.
+
+    Candidates that fail to compile (e.g. a tile exceeding VMEM) are
+    skipped. `measure`/`measure_bwd` are injectable for tests. With
+    use_cache, a prior result for the same (device, backend, mass-mode,
+    N-bucket, pair_dtype, split_w) key is applied without re-measuring —
+    family-relevant params only, explicit user overrides kept.
+    """
+    measure = measure or _default_measure
+    measure_bwd = measure_bwd or _default_measure_bwd
+    path = path or cache_path()
+    key = _key(cfg)
+    if use_cache:
+        hit = _load(path).get(key)
+        if hit and (not backward
+                    or hit["params"].get("sym_bwd_tile") is not None):
+            return _apply_cached(cfg, hit["params"])
+
+    results = {}
+    eff = cfg.effective_backend()
+    if cfg.resident and eff in ("sym", "sym_mxu"):
+        # A resident config runs the resident kernel: sym_tile/sym_chunk
+        # are irrelevant to it — sweep resident_tile only.
+        best, best_sec = _sweep(
+            [cfg.replace(resident_tile=t) for t in RESIDENT_TILES],
+            measure, reps, results)
+    else:
+        best, best_sec = _sweep(_candidates(cfg), measure, reps, results)
     if best is None:
         raise RuntimeError(
             f"autotune: every candidate failed for {key}: {results}")
+
+    if (not cfg.resident and eff in ("sym", "sym_mxu")
+            and cfg.n > min(SYM_CHUNKS)):
+        chunk_best, chunk_sec = _sweep(
+            [best.replace(sym_chunk=c) for c in SYM_CHUNKS
+             if c != (best.sym_chunk or 131072)],
+            measure, reps, results)
+        if chunk_best is not None and chunk_sec < best_sec:
+            best, best_sec = chunk_best, chunk_sec
+
+    if backward and eff in ("sym", "sym_mxu"):
+        bwd_best, _ = _sweep(
+            [best.replace(sym_bwd_tile=t) for t in BWD_TILES],
+            measure_bwd, reps, results)
+        if bwd_best is not None:
+            best = best.replace(sym_bwd_tile=bwd_best.sym_bwd_tile)
 
     if use_cache:
         data = _load(path)
@@ -180,3 +288,18 @@ def tune(
         }
         _save(path, data)
     return best
+
+
+def cached_rate(cfg: SimConfig,
+                path: Optional[pathlib.Path] = None) -> Optional[float]:
+    """Measured GInteractions/s from a prior tune of this config's cache
+    key, or None — consumed by sim's watchdog pacing so segment sizing
+    uses the real kernel rate instead of the flat conservative estimate."""
+    try:
+        hit = _load(path or cache_path()).get(_key(cfg))
+    except Exception:
+        return None
+    if not hit:
+        return None
+    rate = hit.get("ginter_s")
+    return float(rate) if rate else None

@@ -74,6 +74,10 @@ class SimConfig:
         (sym / sym_mxu), which otherwise use their own measured-best
         defaults (tile=1024, chunk=131072 on v5e). Set by utils/autotune
         or by hand; None = kernel defaults.
+      sym_bwd_tile: tile override for the symmetric BACKWARD kernels
+        (vjp_pos_sym / vjp_pos_sym_mxu); None = kernel defaults (640/768).
+      resident_tile: tile override for the whole-trajectory resident
+        kernel (ops/resident_sym.py); None = resident_sym.auto_tile.
       mesh_shape: devices along the body-sharding axis (1-tuple), or the
         (rows, cols) of the 2-D pair-matrix grid for comm='grid'; None =
         single chip.
@@ -95,6 +99,14 @@ class SimConfig:
         benchmarks/RESULTS.md "Compensated bf16 operand splits"). The
         accuracy record for mass systems; unit-mass systems are better
         served by the fp32-exact 'sym'. Ignored by other backends.
+      resident: whole-trajectory resident kernel (ops/resident_sym.py:
+        every step fused into ONE Pallas launch, state in VMEM, leapfrog
+        via half-kick staggering). None = auto: simulate() routes
+        symmetric-class configs there on TPU below the measured streamed
+        crossover (sim.RESIDENT_AUTO_MAX_N). True forces it up to the
+        VMEM cap (RESIDENT_SYM_MAX_N); False pins the streamed path.
+        The precision class always follows the backend ('sym'/'auto' ->
+        fp32-exact, 'sym_mxu' -> bf16-accumulate).
       fused_integrate: fold the Euler integrate into the direct kernel's
         epilogue (ops/pallas_force.euler_step_fused) — the blueprint's
         SURVEY §7 step 2. Measured +0.7% at N=1M on the pallas backend (the
@@ -114,12 +126,15 @@ class SimConfig:
     tile_j: int = 2048
     sym_tile: Optional[int] = None
     sym_chunk: Optional[int] = None
+    sym_bwd_tile: Optional[int] = None
+    resident_tile: Optional[int] = None
     mesh_shape: Optional[Tuple[int, ...]] = None
     comm: str = "all_gather"
     interpret: Optional[bool] = None
     use_masses: bool = False
     fused_integrate: bool = False
     split_w: bool = False
+    resident: Optional[bool] = None
 
     def __post_init__(self):
         if self.n <= 0:
@@ -159,6 +174,16 @@ class SimConfig:
                 "fused_integrate requires integrator='euler', "
                 "backend='pallas', single chip"
             )
+        if self.resident:
+            if self.mesh_shape is not None or self.fused_integrate:
+                raise ValueError(
+                    "resident=True needs a single chip and no "
+                    "fused_integrate (the resident kernel fuses its own)")
+            if self.effective_backend() not in ("sym", "sym_mxu", "jnp"):
+                raise ValueError(
+                    "resident=True requires a symmetric-class backend "
+                    "('auto'/'sym'/'sym_mxu'), got "
+                    f"{self.backend!r}")
         if self.tile_i % 8 != 0:
             raise ValueError(f"tile_i must be a multiple of 8 (sublanes), got {self.tile_i}")
         if self.tile_j % 128 != 0:

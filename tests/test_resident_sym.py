@@ -1,0 +1,155 @@
+"""Multi-step fused symmetric resident kernel (ops/resident_sym.py) vs the
+streamed step loop, both precision classes, euler + leapfrog."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_nbody_tpu import SimConfig, simulate
+from mini_nbody_tpu.models import init
+from mini_nbody_tpu.ops.resident_sym import (
+    RESIDENT_SYM_MAX_N,
+    simulate_resident_sym,
+    simulate_resident_sym_leapfrog,
+)
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def _check(n, steps, masses=False, mxu=False, integrator="euler", tile=64,
+           softening=1e-2, rtol=1e-4, atol=1e-5):
+    """Resident trajectory vs the streamed jnp step loop. In interpret mode
+    even mxu=True is exact fp32 (the interpreter's matmuls don't round), so
+    one tolerance covers both classes off-chip."""
+    make = init.plummer if masses else init.uniform_random
+    s = make(jax.random.key(n), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=steps, backend="jnp",
+                    softening=softening, use_masses=masses,
+                    integrator=integrator, resident=False)
+    ref = simulate(cfg, s)
+    fn = (simulate_resident_sym_leapfrog if integrator == "leapfrog"
+          else simulate_resident_sym)
+    pos, vel = fn(s.pos, s.vel, s.mass if masses else None, steps=steps,
+                  dt=1e-3, softening=softening, tile=tile, mxu=mxu,
+                  interpret=INTERP)
+    scale = max(np.abs(np.asarray(ref.pos)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(ref.pos),
+                               rtol=rtol, atol=atol * scale)
+    np.testing.assert_allclose(np.asarray(vel), np.asarray(ref.vel),
+                               rtol=rtol, atol=atol * scale)
+
+
+def test_euler_unit_mass_multi_step():
+    _check(256, 5)
+
+
+def test_euler_mxu_mode():
+    _check(256, 5, mxu=True)
+
+
+def test_euler_mass_mode():
+    _check(256, 4, masses=True, mxu=True)
+
+
+def test_euler_ragged_tail_far_padding():
+    _check(300, 3)
+
+
+def test_euler_ragged_mass_mxu():
+    _check(300, 3, masses=True, mxu=True)
+
+
+def test_single_step_single_block():
+    _check(100, 1, tile=128)
+
+
+def test_multi_block_odd_count():
+    _check(320, 3, tile=64)  # nb = 5: odd diagonal-band wrap
+
+
+def test_even_block_antipodal_dedup():
+    _check(256, 3, tile=64)  # nb = 4: even-nb half-band mask
+
+
+def test_default_softening_self_pair_mask():
+    _check(128, 2, tile=32, softening=1e-9)
+
+
+def test_leapfrog_unit_mass():
+    _check(200, 5, integrator="leapfrog")
+
+
+def test_leapfrog_mass_mxu():
+    _check(256, 6, masses=True, mxu=True, integrator="leapfrog")
+
+
+def test_leapfrog_single_step():
+    # steps=1 never enters the kernel: pre-kick + drift + closing kick only
+    _check(100, 1, integrator="leapfrog", tile=128)
+
+
+def test_n_bound():
+    pos = jnp.zeros((RESIDENT_SYM_MAX_N + 1, 3))
+    with pytest.raises(ValueError, match="VMEM"):
+        simulate_resident_sym(pos, pos, steps=1, dt=1e-3, interpret=INTERP)
+
+
+def test_steps_bound():
+    pos = jnp.zeros((8, 3))
+    with pytest.raises(ValueError, match="steps"):
+        simulate_resident_sym(pos, pos, steps=0, dt=1e-3, interpret=INTERP)
+
+
+def test_zero_mass_sources_inert():
+    n = 128
+    s = init.uniform_random(jax.random.key(3), n)
+    mass = jnp.ones((n,)).at[n // 2:].set(0.0)
+    pos, _ = simulate_resident_sym(s.pos, s.vel, mass, steps=2, dt=1e-3,
+                                   softening=1e-2, tile=32, interpret=INTERP)
+    pos2, _ = simulate_resident_sym(
+        s.pos[: n // 2], s.vel[: n // 2], mass[: n // 2], steps=2, dt=1e-3,
+        softening=1e-2, tile=32, interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(pos[: n // 2]), np.asarray(pos2),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_simulate_routes_resident_when_forced():
+    """cfg.resident=True sends simulate() through the resident kernel (the
+    interpret path off-TPU), for euler AND leapfrog, matching the pinned
+    streamed run."""
+    n = 192
+    for integrator in ("euler", "leapfrog"):
+        s = init.plummer(jax.random.key(7), n)
+        cfg = SimConfig(n=n, dt=1e-3, steps=4, softening=1e-2,
+                        use_masses=True, integrator=integrator)
+        out_res = simulate(cfg.replace(resident=True), s)
+        out_str = simulate(cfg.replace(resident=False, backend="jnp"), s)
+        scale = np.abs(np.asarray(out_str.pos)).max()
+        np.testing.assert_allclose(
+            np.asarray(out_res.pos), np.asarray(out_str.pos),
+            rtol=1e-4, atol=1e-5 * scale)
+
+
+def test_resident_config_validation():
+    with pytest.raises(ValueError, match="resident"):
+        SimConfig(n=64, resident=True, backend="pallas")
+    with pytest.raises(ValueError, match="resident"):
+        SimConfig(n=64, resident=True, mesh_shape=(8,), comm="ring")
+    # symmetric-class backends are fine
+    SimConfig(n=64, resident=True, backend="sym_mxu")
+
+
+def test_leapfrog_energy_drift():
+    """The drift-gate integrator on the resident kernel: bounded energy
+    drift over a real KDK run (the property euler doesn't have)."""
+    from mini_nbody_tpu.ops import diagnostics as diag
+
+    n = 256
+    s = init.plummer(jax.random.key(11), n)
+    cfg = SimConfig(n=n, dt=1e-3, steps=100, softening=1e-2,
+                    use_masses=True, integrator="leapfrog", resident=True)
+    e0 = float(diag.total_energy(s, cfg.softening))
+    out = simulate(cfg, s)
+    e1 = float(diag.total_energy(out, cfg.softening))
+    assert abs(e1 - e0) / abs(e0) < 1e-3

@@ -329,3 +329,121 @@ class TestAutotune:
         ref = np.asarray(body_force_jnp(s.pos, s.pos, softening=1e-2))
         np.testing.assert_allclose(f, ref, rtol=1e-4,
                                    atol=1e-5 * np.abs(ref).max())
+
+
+class TestAutotuneV2:
+    def test_chunk_phase_when_n_spans_chunks(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        cfg = SimConfig(n=262144, backend="sym_mxu")
+        seen = []
+
+        def measure(cand, reps):
+            seen.append((cand.sym_tile, cand.sym_chunk))
+            base = {512: 3.0, 768: 2.0, 896: 1.5, 1024: 1.0,
+                    1152: 2.5}[cand.sym_tile]
+            # single-chunk (262144) measures faster at this N
+            return base * (0.9 if cand.sym_chunk == 262144 else 1.0)
+
+        best = autotune.tune(cfg, measure=measure, path=tmp_path / "t.json")
+        assert best.sym_tile == 1024 and best.sym_chunk == 262144
+        # phase 2 ran only the non-default chunk at the winning tile
+        assert (1024, 262144) in seen
+
+    def test_resident_config_sweeps_resident_tile_only(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        cfg = SimConfig(n=4096, backend="sym_mxu", resident=True)
+        seen = []
+
+        def measure(cand, reps):
+            assert cand.resident
+            seen.append(cand.resident_tile)
+            return {512: 2.0, 640: 1.5, 768: 1.2, 896: 3.0, 1024: 1.0}[
+                cand.resident_tile]
+
+        best = autotune.tune(cfg, measure=measure, path=tmp_path / "t.json")
+        assert best.resident_tile == 1024
+        assert set(seen) == set(autotune.RESIDENT_TILES)
+
+    def test_backward_phase_and_cache(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        cfg = SimConfig(n=4096, backend="sym")
+        fwd_table = {512: 3.0, 768: 2.0, 896: 1.5, 1024: 1.0, 1152: 2.0}
+
+        def measure(cand, reps):
+            return fwd_table[cand.sym_tile]
+
+        def measure_bwd(cand, reps):
+            return {512: 2.0, 640: 1.0, 768: 1.5, 896: 3.0}[
+                cand.sym_bwd_tile]
+
+        path = tmp_path / "t.json"
+        best = autotune.tune(cfg, measure=measure, path=path,
+                             backward=True, measure_bwd=measure_bwd)
+        assert best.sym_tile == 1024 and best.sym_bwd_tile == 640
+        # cache hit applies both; a forward-only prior cache would NOT
+        # satisfy backward=True (sym_bwd_tile absent)
+        best2 = autotune.tune(cfg, measure=None, path=path, backward=True,
+                              measure_bwd=None)
+        assert best2.sym_bwd_tile == 640
+        # explicit user override survives the cache hit
+        best3 = autotune.tune(cfg.replace(sym_bwd_tile=896), path=path,
+                              backward=True)
+        assert best3.sym_bwd_tile == 896
+
+    def test_cached_rate_feeds_watchdog_pacing(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+        from mini_nbody_tpu.sim import (
+            _CONSERVATIVE_GINTER_S, _pacing_rate, max_steps_per_dispatch)
+
+        cfg = SimConfig(n=65536, backend="sym_mxu")
+        path = tmp_path / "t.json"
+        assert autotune.cached_rate(cfg, path=path) is None
+
+        def measure(cand, reps):
+            return 1e-2  # 65536^2 / 1e-2 s = 429 G/s
+
+        autotune.tune(cfg, measure=measure, path=path)
+        rate = autotune.cached_rate(cfg, path=path)
+        assert rate is not None and rate > 400
+        # pacing uses the measured rate via the env-pointed cache
+        import os
+
+        old = os.environ.get(autotune.CACHE_ENV)
+        os.environ[autotune.CACHE_ENV] = str(path)
+        try:
+            assert _pacing_rate(cfg) == pytest.approx(0.5 * rate)
+            assert (max_steps_per_dispatch(cfg.n, cfg=cfg)
+                    > max_steps_per_dispatch(cfg.n))
+        finally:
+            if old is None:
+                os.environ.pop(autotune.CACHE_ENV, None)
+            else:
+                os.environ[autotune.CACHE_ENV] = old
+
+    def test_sym_bwd_tile_threads_into_backward(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mini_nbody_tpu.models import init as minit
+        from mini_nbody_tpu.ops.autodiff import make_differentiable_force
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        s = minit.uniform_random(jax.random.key(3), 256)
+        base = SimConfig(n=256, backend="sym", softening=1e-2,
+                         interpret=True)
+
+        def gradf(cfg):
+            force = make_differentiable_force(cfg)
+            return jax.grad(lambda p: jnp.sum(force(p) ** 2))(s.pos)
+
+        g_def = np.asarray(gradf(base))
+        g_tuned = np.asarray(gradf(base.replace(sym_bwd_tile=32)))
+        np.testing.assert_allclose(g_tuned, g_def, rtol=1e-5,
+                                   atol=1e-6 * np.abs(g_def).max())
