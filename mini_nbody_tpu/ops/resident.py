@@ -36,9 +36,10 @@ semantics (v += dt F; x += dt v) fused per i-tile at its last j-block —
 the reference's host-side integrate, in-kernel.
 
 VMEM bounds the resident size: two (Np, 8) wide buffers lane-pad to
-512 B/body, so N <= ~8192 fits comfortably (T=512); sim.simulate routes
-small-N euler configs here automatically. Accumulator is a (T, 8) scratch
-reused across i-blocks (grid iterations are sequential).
+512 B/body, so N <= ~8192 fits comfortably (T=512). (sim.simulate no
+longer routes here — resident_sym superseded this module, see the note
+above.) Accumulator is a (T, 8) scratch reused across i-blocks (grid
+iterations are sequential).
 """
 
 from __future__ import annotations

@@ -192,6 +192,8 @@ def _route_resident(cfg: SimConfig, steps: int) -> bool:
     fp32-exact VPU mode, 'sym_mxu' the bf16-accumulate MXU mode."""
     if cfg.mesh_shape or cfg.fused_integrate or steps < 1:
         return False
+    if cfg.integrator not in ("euler", "leapfrog"):
+        return False  # the resident kernel fuses exactly these two
     if cfg.resident is not None:
         return cfg.resident
     import jax

@@ -237,6 +237,8 @@ def tune(
     use_cache, a prior result for the same (device, backend, mass-mode,
     N-bucket, pair_dtype, split_w) key is applied without re-measuring —
     family-relevant params only, explicit user overrides kept.
+    use_cache=False skips the READ only (force a re-measure); fresh
+    results are always persisted so `tune --no-cache` updates the cache.
     """
     measure = measure or _default_measure
     measure_bwd = measure_bwd or _default_measure_bwd
@@ -278,15 +280,14 @@ def tune(
         if bwd_best is not None:
             best = best.replace(sym_bwd_tile=bwd_best.sym_bwd_tile)
 
-    if use_cache:
-        data = _load(path)
-        data[key] = {
-            "params": _params(best),
-            "seconds": best_sec,
-            "ginter_s": float(cfg.n) * cfg.n / best_sec / 1e9,
-            "results": results,
-        }
-        _save(path, data)
+    data = _load(path)
+    data[key] = {
+        "params": _params(best),
+        "seconds": best_sec,
+        "ginter_s": float(cfg.n) * cfg.n / best_sec / 1e9,
+        "results": results,
+    }
+    _save(path, data)
     return best
 
 

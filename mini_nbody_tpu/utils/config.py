@@ -29,7 +29,7 @@ DT = 0.01
 FAR = 1.0e18
 
 _BACKENDS = ("auto", "jnp", "pallas", "mxu", "sym", "sym_mxu")
-_INTEGRATORS = ("euler", "leapfrog")
+_INTEGRATORS = ("euler", "leapfrog", "rk4")
 _PAIR_DTYPES = ("float32", "bfloat16")
 
 
@@ -43,8 +43,10 @@ class SimConfig:
       dt: integrator time step.
       steps: number of integration steps per `simulate` call.
       softening: Plummer softening epsilon**2 added to every pair distance^2.
-      integrator: "euler" (reference semantics: v += dt*F; x += dt*v) or
-        "leapfrog" (KDK, symplectic).
+      integrator: "euler" (reference semantics: v += dt*F; x += dt*v),
+        "leapfrog" (KDK, symplectic — the drift-gate integrator), or
+        "rk4" (classic 4th-order Runge-Kutta: four force evaluations per
+        step, O(dt^4) accuracy; not symplectic).
       backend: force-kernel implementation. "auto" picks "pallas" on TPU and
         "jnp" elsewhere. "mxu" = hybrid kernel that routes the O(N^2) force
         accumulation through the matrix unit (see ops/mxu_force.py). "sym" =
@@ -179,6 +181,10 @@ class SimConfig:
                 raise ValueError(
                     "resident=True needs a single chip and no "
                     "fused_integrate (the resident kernel fuses its own)")
+            if self.integrator not in ("euler", "leapfrog"):
+                raise ValueError(
+                    "resident=True supports integrator 'euler' or "
+                    f"'leapfrog', got {self.integrator!r}")
             if self.effective_backend() not in ("sym", "sym_mxu", "jnp"):
                 raise ValueError(
                     "resident=True requires a symmetric-class backend "

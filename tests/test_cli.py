@@ -84,3 +84,20 @@ def test_bench_hostseg_route(monkeypatch, capsys):
     # At n=256 the report's 3-decimal GInter/s legitimately rounds to 0.0
     # on real TPU (dispatch-overhead-bound); the timing itself must be real.
     assert rep["seconds"] > 0
+
+
+def test_reference_envelope_example_quick():
+    """The reference-envelope demo (examples/reference_envelope.py) runs
+    end-to-end in --quick mode: config-1-scale Euler sweep + the drift
+    assertion at the (shrunken) envelope edge."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parents[1] / "examples" / \
+        "reference_envelope.py"
+    out = subprocess.run(
+        [sys.executable, str(script), "--quick", "--cpu"],
+        capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "leapfrog drift" in out.stdout

@@ -229,3 +229,106 @@ class TestRolloutRemat:
 
         with pytest.raises(ValueError):
             make_rollout_fn(SimConfig(n=8), 4, remat="bogus")
+
+
+class TestRK4:
+    def test_matches_fp64_numpy_rk4(self):
+        """One fp32 RK4 step vs an fp64 NumPy implementation of the same
+        Butcher tableau over the exact softened-gravity force."""
+        import numpy as np
+
+        from mini_nbody_tpu.models import init
+        from mini_nbody_tpu.ops.integrators import rk4_step
+
+        n, dt, soft = 96, 1e-3, 1e-2
+        s = init.plummer(jax.random.key(2), n)
+        x0 = np.asarray(s.pos, np.float64)
+        v0 = np.asarray(s.vel, np.float64)
+        m = np.asarray(s.mass, np.float64)
+
+        def a(x):
+            d = x[None, :, :] - x[:, None, :]
+            r2 = (d * d).sum(-1) + soft
+            return (d * ((r2 ** -1.5) * m[None, :])[:, :, None]).sum(1)
+
+        k1v, k1x = a(x0), v0
+        k2v, k2x = a(x0 + 0.5 * dt * k1x), v0 + 0.5 * dt * k1v
+        k3v, k3x = a(x0 + 0.5 * dt * k2x), v0 + 0.5 * dt * k2v
+        k4v, k4x = a(x0 + dt * k3x), v0 + dt * k3v
+        xr = x0 + dt / 6 * (k1x + 2 * k2x + 2 * k3x + k4x)
+        vr = v0 + dt / 6 * (k1v + 2 * k2v + 2 * k3v + k4v)
+
+        def force(pi, pj, mass):
+            from mini_nbody_tpu.ops.reference import body_force_jnp
+
+            return body_force_jnp(pi, pj, mass, softening=soft)
+
+        out, acc = rk4_step(s, None, force, dt)
+        scale = np.abs(xr).max()
+        np.testing.assert_allclose(np.asarray(out.pos), xr, rtol=1e-5,
+                                   atol=1e-6 * scale)
+        np.testing.assert_allclose(np.asarray(out.vel), vr, rtol=1e-5,
+                                   atol=1e-6 * np.abs(vr).max())
+
+    def test_energy_conservation_beats_euler(self):
+        from mini_nbody_tpu import SimConfig, simulate
+        from mini_nbody_tpu.models import init
+        from mini_nbody_tpu.ops import diagnostics as diag
+
+        n = 128
+        s = init.plummer(jax.random.key(5), n)
+        e0 = float(diag.total_energy(s, 1e-2))
+
+        def drift(integrator):
+            cfg = SimConfig(n=n, dt=2e-3, steps=50, softening=1e-2,
+                            backend="jnp", use_masses=True,
+                            integrator=integrator)
+            out = simulate(cfg, s)
+            return abs(float(diag.total_energy(out, 1e-2)) - e0) / abs(e0)
+
+        assert drift("rk4") < drift("euler") / 10
+
+    def test_rk4_sharded_and_differentiable(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mini_nbody_tpu import SimConfig, simulate
+        from mini_nbody_tpu.models import init
+        from mini_nbody_tpu.parallel import make_mesh
+        from mini_nbody_tpu.parallel.sharded import simulate_sharded
+        from mini_nbody_tpu.sim import make_step_fn
+
+        if len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 devices")
+        n = 160
+        s = init.plummer(jax.random.key(6), n)
+        cfg = SimConfig(n=n, dt=1e-3, steps=3, softening=1e-2,
+                        backend="jnp", use_masses=True, integrator="rk4",
+                        comm="ring", mesh_shape=(8,))
+        ref = simulate(cfg.replace(mesh_shape=None, comm="all_gather"), s)
+        out = simulate_sharded(cfg, make_mesh(8), s)
+        scale = np.abs(np.asarray(ref.pos)).max()
+        np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                                   rtol=1e-4, atol=1e-5 * scale)
+        # differentiable: grad flows through four force evals per step
+        step = make_step_fn(cfg.replace(mesh_shape=None), differentiable=True)
+
+        def loss(p):
+            import dataclasses
+
+            st = dataclasses.replace(s, pos=p)
+            (st2, _), = [step((st, jnp.zeros_like(p)))]
+            return jnp.sum(st2.pos ** 2)
+
+        g = jax.grad(loss)(s.pos)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_resident_refuses_rk4(self):
+        import pytest
+
+        from mini_nbody_tpu import SimConfig
+
+        with pytest.raises(ValueError, match="resident"):
+            SimConfig(n=64, resident=True, integrator="rk4")
