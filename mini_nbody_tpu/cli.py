@@ -122,7 +122,23 @@ def cmd_run(args):
         state, start_step = _state(args, cfg), 0
 
     t0 = time.perf_counter()
-    if cfg.mesh_shape:
+    if args.trajectory:
+        # Stacked position history every --save-every steps (the analog of
+        # the reference host reading the force buffer back after each
+        # pass) — single-chip or mesh-sharded.
+        every = args.save_every or 1
+        if cfg.mesh_shape:
+            from mini_nbody_tpu.parallel import make_mesh, trajectory_sharded
+
+            out, hist = trajectory_sharded(
+                cfg, make_mesh(cfg.mesh_shape), state, save_every=every)
+        else:
+            from mini_nbody_tpu.sim import trajectory
+
+            out, hist = trajectory(cfg, state, cfg.steps, save_every=every)
+        np.savez(args.trajectory, pos_history=np.asarray(hist),
+                 save_every=every, dt=cfg.dt)
+    elif cfg.mesh_shape:
         from mini_nbody_tpu.parallel import make_mesh, simulate_sharded
 
         mesh = make_mesh(cfg.mesh_shape)
@@ -152,6 +168,8 @@ def cmd_run(args):
     }
     if args.energy:
         report["energy"] = float(diag.total_energy(out, cfg.softening))
+    if args.trajectory:
+        report["trajectory"] = args.trajectory
     if args.save:
         written = ckpt.save(args.save, out, step=start_step + cfg.steps,
                             cfg=cfg)
@@ -188,6 +206,22 @@ def cmd_bench(args):
             "backend": "sym (host-segmented)",
             "pair_dtype": cfg.pair_dtype,
             **t.report(path="sym" if not cfg.use_masses else "sym_mass"),
+        }))
+        return
+    if cfg.resident and not cfg.mesh_shape:
+        # Whole-trajectory resident kernel: per-step time can't be expressed
+        # as a step-fn (the fusion IS multi-step), so time full resident
+        # runs the way the autotuner does.
+        from mini_nbody_tpu.utils.autotune import _default_measure
+        from mini_nbody_tpu.utils.harness import roofline_path
+
+        sec = _default_measure(cfg, reps=args.reps)
+        t = Throughput(n=cfg.n, steps=1, seconds=sec, n_devices=1)
+        print(json.dumps({
+            "device": jax.devices()[0].device_kind,
+            "backend": f"{cfg.effective_backend()} (resident)",
+            "pair_dtype": cfg.pair_dtype,
+            **t.report(path=roofline_path(cfg)),
         }))
         return
     if cfg.mesh_shape:
@@ -348,7 +382,12 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--save", help="checkpoint path (npz)")
     p.add_argument("--save-every", type=int, default=0,
-                   help="checkpoint every K steps (with --save)")
+                   help="checkpoint every K steps (with --save), or "
+                        "snapshot stride (with --trajectory)")
+    p.add_argument("--trajectory",
+                   help="write stacked position snapshots every "
+                        "--save-every steps to this npz (works sharded "
+                        "too; steps must divide evenly)")
     p.add_argument("--resume", help="resume from checkpoint")
     p.add_argument("--energy", action="store_true", help="report total energy")
     p.set_defaults(fn=cmd_run)

@@ -139,7 +139,7 @@ def _pad8(rows3):
 
 
 def _force_block(st_ref, rows_ref, cols_ref, pw_ref, i, d,
-                 *, tile, nb, softening, masses, mxu, fast):
+                 *, nb, softening, masses, mxu, fast):
     jg = jax.lax.rem(i + d, jnp.int32(nb))
     bj = _blk(st_ref, jg)  # (8, T)
 
@@ -213,9 +213,9 @@ def _integrate_block(st_ref, rows_ref, cols_ref, b, *, dt, mxu):
     st_ref[rb, :] = jnp.concatenate([xnew, vnew, blk[6:8, :]], axis=0)
 
 
-def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, id_ref, *,
+def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
             tile, nb, nd, dt, softening, masses, mxu, fast):
-    del in_ref, id_ref  # aliased input / placeholder (see pallas_call)
+    del in_ref  # aliased to st_ref: the initial state IS the buffer
     s = pl.program_id(0)
     i = pl.program_id(1)
     d = pl.program_id(2)
@@ -245,7 +245,7 @@ def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, id_ref, *,
     @pl.when(force_on)
     def _force():
         _force_block(st_ref, rows_ref, cols_ref, pw_ref,
-                     i, d, tile=tile, nb=nb, softening=softening,
+                     i, d, nb=nb, softening=softening,
                      masses=masses, mxu=mxu, fast=fast)
 
     blk = (i - nb) * nd + d
@@ -330,7 +330,6 @@ def simulate_resident_sym(
             pltpu.VMEM((8 * nb, tile), jnp.float32),  # block-major row sums
             pltpu.VMEM((8 * nb, tile), jnp.float32),  # block-major reactions
             pltpu.VMEM((tile, 8), jnp.float32),       # i-tile columns
-            pltpu.VMEM((tile, tile), jnp.float32),    # transpose identity
         ],
         input_output_aliases={0: 0},
         compiler_params=_CompilerParams(

@@ -196,6 +196,8 @@ def _route_resident(cfg: SimConfig, steps: int) -> bool:
         return False  # the resident kernel fuses exactly these two
     if cfg.resident is not None:
         return cfg.resident
+    if cfg.split_w:
+        return False  # resident mxu mode has no w-split: keep the class
     import jax
 
     eff = cfg.effective_backend()

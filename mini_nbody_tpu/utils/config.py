@@ -185,6 +185,11 @@ class SimConfig:
                 raise ValueError(
                     "resident=True supports integrator 'euler' or "
                     f"'leapfrog', got {self.integrator!r}")
+            if self.split_w:
+                raise ValueError(
+                    "resident=True has no split_w accuracy mode (the "
+                    "resident kernel runs the plain compensated operand "
+                    "split); use the streamed path for split_w")
             if self.effective_backend() not in ("sym", "sym_mxu", "jnp"):
                 raise ValueError(
                     "resident=True requires a symmetric-class backend "

@@ -101,3 +101,29 @@ def test_reference_envelope_example_quick():
         capture_output=True, text=True, timeout=420)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "leapfrog drift" in out.stdout
+
+
+def test_run_trajectory_dump(tmp_path):
+    """run --trajectory writes stacked snapshots, single-chip and sharded."""
+    import jax
+    import numpy as np
+
+    from mini_nbody_tpu.cli import main
+
+    path = tmp_path / "traj.npz"
+    main(["run", "--n", "64", "--steps", "6", "--dt", "1e-3",
+          "--softening", "1e-2", "--backend", "jnp",
+          "--trajectory", str(path), "--save-every", "2"])
+    d = np.load(path)
+    assert d["pos_history"].shape == (3, 64, 3)
+    assert int(d["save_every"]) == 2
+    assert np.isfinite(d["pos_history"]).all()
+
+    if len(jax.devices()) >= 8:
+        path2 = tmp_path / "traj8.npz"
+        main(["run", "--n", "64", "--steps", "6", "--dt", "1e-3",
+              "--softening", "1e-2", "--backend", "jnp", "--devices", "8",
+              "--comm", "ring", "--trajectory", str(path2),
+              "--save-every", "3"])
+        d2 = np.load(path2)
+        assert d2["pos_history"].shape == (2, 64, 3)

@@ -20,8 +20,12 @@ INTERP = jax.default_backend() != "tpu"
 def _check(n, steps, masses=False, mxu=False, integrator="euler", tile=64,
            softening=1e-2, rtol=1e-4, atol=1e-5):
     """Resident trajectory vs the streamed jnp step loop. In interpret mode
-    even mxu=True is exact fp32 (the interpreter's matmuls don't round), so
-    one tolerance covers both classes off-chip."""
+    even mxu=True is exact fp32 (the interpreter's matmuls don't round);
+    on the real chip mxu mode carries the legitimate bf16-accumulate error
+    class (compensated-split, ~1e-4 median force error — ops/sym_mxu_force)
+    so those runs get the class tolerance."""
+    if mxu and not INTERP:
+        rtol, atol = 2e-2, 2e-3
     make = init.plummer if masses else init.uniform_random
     s = make(jax.random.key(n), n)
     cfg = SimConfig(n=n, dt=1e-3, steps=steps, backend="jnp",

@@ -21,7 +21,7 @@ def test_config_validation():
     with pytest.raises(ValueError):
         SimConfig(n=16, tile_j=100)
     with pytest.raises(ValueError):
-        SimConfig(n=16, integrator="rk4")
+        SimConfig(n=16, integrator="rk9")
     cfg = SimConfig(n=16)
     assert cfg.replace(steps=5).steps == 5
     assert hash(cfg) == hash(SimConfig(n=16))  # usable as jit static arg
