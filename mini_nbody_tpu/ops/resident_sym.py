@@ -46,18 +46,27 @@ i-slots integrate the nb state blocks (Euler, fused in-kernel).
 
 Measured regime (v5e, amortized harness — us/step vs the streamed path):
 N=512: 5.3 vs 11.4 (mxu) and 6.5 vs 10.6 (fp32); N=1024: 8.5 vs 12.4 and
-11.9 vs 14.3; N=2048: 23.0 vs 23.5 (tie, mxu). From N=4096 up the
-STREAMED kernels win — with honest (scan-amortized) measurement they are
-already 0.56-0.68 of roofline at 4096 and 0.93+ from 16384, so the
-resident kernel's home is genuinely small N: sub-microsecond-per-band
-grid slots put its floor at ~(bands x 1-2 us)/step, while the streamed
-path pays a fixed ~20-40 us of launch + XLA glue per step. Both the
-round-2 resident kernel's "3.9x at N=4096" headline and the ">=500 us
-streamed launch overhead" it was measured against were artifacts of the
-old un-amortized harness (utils/harness.auto_inner). sim.simulate
-auto-routes N <= 1024 (fp32) / 2048 (mxu); the per-band Mosaic iteration
-floor (~0.55 us at T=512, scaling with T^2 — ablated with an empty force
-body) is what keeps larger N streamed.
+11.9 vs 14.3; N=2048: 23.0 vs 24.2 (mxu); N=4096 mxu: 54.2 vs 59.0
+(309.8 vs 286.8 G/s); N=8192 mxu: 195.2 vs 188.2 — streamed wins from
+8192 up. The round-3b slot-ablation probe
+(benchmarks/probe_resident_floor.py) overturned the round-2 "per-band
+iteration floor" story: grid slots cost only ~0.03-0.08 us each (144
+ablated slots at N=8192 ran in 5.5-12.8 us/step); what actually bounds
+mid-N resident throughput is the force BODY's per-pair efficiency, which
+rises steeply with tile ((T,T) vector-op amortization: mxu 512 -> 1024
+measured 330 -> 405 G/s at N=65536). The old "~0.55-2.2 us/slot floor"
+was the since-removed identity-transpose scratch work, not Mosaic
+overhead. With the (tile, 8) pw scratch, tile=1024 mxu is VMEM-
+admissible to N=114688 (407.9 G/s measured; nb=128 exceeds VMEM) — the
+resident mxu path now runs 309.8 / 343.7 / 387.8 / 403.4 / 380.7 G/s at
+N=4k / 8k / 16k / 65k / 131k, within 4% of streamed from 16k (vs ~60%
+of streamed at the old tile=512 cap). fp32 keeps 4 (T,T) temporaries
+live (w + three weighted displacements), capping its tile at 768
+(245.6 G/s at N=65536) — streamed from N=2048 up. Both the round-2
+resident kernel's "3.9x at N=4096" headline and the ">=500 us streamed
+launch overhead" it was measured against were artifacts of the old
+un-amortized harness (utils/harness.auto_inner). sim.simulate
+auto-routes N <= 1024 (fp32) / 4096 (mxu).
 
 Leapfrog needs NO second kernel: KDK with the two half-kicks merged is the
 Euler update on staggered velocities — v_{k+1/2} = v_{k-1/2} + dt*a(x_k),
@@ -89,21 +98,59 @@ from mini_nbody_tpu.ops.pallas_compat import (
 RESIDENT_SYM_MAX_N = 131072
 
 
+#: VMEM admission: max padded block count nb = round_up(n, T)/T per tile,
+#: per mode (benchmarks/probe_resident_tiles.py, v5e). The binding budget
+#: is 3 state/accumulator buffers at 96*nb*T bytes plus the (T,T) pair
+#: temporaries — ~1.5 live for mxu (w + matmul staging), ~4 for the VPU
+#: path (w + three weighted displacements). Entries marked (v) are
+#: compile-verified on chip; the rest interpolate the linear VMEM model
+#: and stay conservative. fp32 T=1024 exceeds VMEM at ANY nb (verified
+#: fail at n=8192).
+_MAX_NB = {
+    True: {1024: 112, 896: 136, 768: 171, 640: 205, 512: 256,
+           384: 342, 256: 512, 128: 1024},
+    # (v): 1024 ok at nb=112 / fails nb=128; 896 ok at nb=134
+    #      (395.3 G/s at n=120000); 768 ok at nb=171 (the N cap);
+    #      512 ok at nb=256 (the N cap)
+    False: {768: 86, 640: 120, 512: 256,
+            384: 342, 256: 512, 128: 1024},
+    # (v): 768 ok at nb=86 / fails nb=171; 640 ok at nb=120 (214.9 G/s
+    # at n=76800); 512 ok at nb=256 (the N cap).
+    # No 896: the 4-temporary VPU body at 896 is VMEM-marginal and its
+    # padded-rate never beats 768/512 (measured: padded large tiles
+    # underperform their aligned large-N rate — 768 at n=4096 ran 153.7
+    # vs 512's ~180 G/s).
+}
+
+#: Measured large-N GInteractions/s per (mode, tile) on v5e (same probe);
+#: small tiles extrapolated. Only relative magnitudes matter: auto_tile
+#: scores candidates by padded-pair-work / rate.
+_TILE_RATE = {
+    True: {1024: 405.0, 896: 392.0, 768: 381.0, 640: 355.0, 512: 330.0,
+           384: 280.0, 256: 210.0, 128: 110.0},
+    False: {896: 235.0, 768: 245.0, 640: 220.0, 512: 196.0,
+            384: 165.0, 256: 130.0, 128: 70.0},
+}
+
+
 def auto_tile(n: int, mxu: bool) -> int:
-    """Measured-best tile. Per-band iteration cost has a ~1-2 us floor, so
-    bigger tiles = fewer bands; the ceiling is the (T,T) VPU temporaries:
-    mxu mode keeps ~2 alive and fits 1024, the VPU path also keeps the
-    three weighted-displacement products and overflows VMEM by ~1 MB at
-    1024 (compile-verified), so it caps at 768. Above N=32768 the
-    block-state and accumulator buffers force 512. Below the cap, prefer
-    the candidate with the least padding (768 at n=1024 would pad to 1536
-    — 2.25x the pair work of tile 512), largest tile on ties."""
-    cap = 512 if n > 32768 else (1024 if mxu else 768)
+    """Estimated-fastest VMEM-admissible tile.
+
+    Body per-pair efficiency RISES with tile (the (T,T) vector ops
+    amortize better: mxu 512 -> 1024 measured 330 -> 405 G/s at N=65536;
+    grid-slot overhead itself is negligible — ~0.03-0.08 us/slot, probed
+    with ablated bodies, benchmarks/probe_resident_floor.py), so bigger
+    tiles win unless tail padding inflates the pair work (768 at n=1024
+    would pad to 1536 — 2.25x the pairs of tile 512) or the (T,T)
+    temporaries exceed VMEM (_MAX_NB). Score = padded-pairs / measured
+    rate; smallest score wins, larger tile on ties."""
     best = None
-    for t in (1024, 896, 768, 640, 512, 384, 256, 128):
-        if t > cap:
+    for t, max_nb in _MAX_NB[mxu].items():
+        np_ = round_up(n, t)
+        if np_ // t > max_nb:
             continue
-        key = (round_up(n, t), -t)
+        score = float(np_) * np_ / _TILE_RATE[mxu][t]
+        key = (score, -t)
         if best is None or key < best[0]:
             best = (key, t)
     return best[1]

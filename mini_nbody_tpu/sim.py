@@ -177,13 +177,15 @@ def simulate(
 #: vs the streamed per-step path, per precision class, measured on v5e
 #: with the amortized harness (us/step, resident vs streamed): N=512:
 #: 5.3 vs 11.4 (mxu) / 6.5 vs 10.6 (fp32); N=1024: 8.5 vs 12.4 / 11.9 vs
-#: 14.3; N=2048: 23.0 vs 23.5 / 34.7 vs 27.3; N=4096 the streamed path
-#: wins both classes (it is already 0.56-0.68 of roofline there, and
-#: 0.93+ from N=16384 — the resident regime is genuinely small N only;
-#: round 2's "3.9x at N=4096" was an artifact of the un-amortized
-#: harness). cfg.resident=True forces the resident path at any N up to
+#: 14.3; N=2048: 23.0 vs 24.2 / 34.7 vs 27.3; N=4096 mxu: 54.2 vs 59.0
+#: (309.8 vs 286.8 G/s — the round-3b tile probe unlocked tile=1024 in
+#: the >2048 band); N=8192 mxu: 195.2 vs 188.2 — the streamed path wins
+#: from 8192 up (0.93+ of roofline from N=16384). The fp32 class stays
+#: streamed from 2048: its resident body keeps 4 (T,T) temporaries live,
+#: capping the tile at 768 and the body rate at ~245 G/s vs 340+
+#: streamed. cfg.resident=True forces the resident path at any N up to
 #: its VMEM cap; False pins the streamed path.
-RESIDENT_AUTO_MAX_N = {"sym": 1024, "sym_mxu": 2048}
+RESIDENT_AUTO_MAX_N = {"sym": 1024, "sym_mxu": 4096}
 
 
 def _route_resident(cfg: SimConfig, steps: int) -> bool:
@@ -219,9 +221,12 @@ def _simulate_resident(cfg: SimConfig, state: BodyState, steps: int):
     mass = state.mass if cfg.use_masses else None
     dt = float(cfg.dt)
     tile = cfg.resident_tile or auto_tile(cfg.n, mxu)
-    # Watchdog pacing: conservative pair rate plus the measured ~2 us
-    # per-band-iteration floor (a huge-step request at tiny N is
-    # iteration-bound, not pair-bound).
+    # Watchdog pacing: conservative pair rate plus ~2 us/slot of small-N
+    # per-step overhead (matches the measured 5-12 us/step at N<=1024,
+    # where the pair term alone would undercount by ~20x; the slot grid
+    # itself is nearly free — benchmarks/probe_resident_floor.py — but
+    # small-N steps are overhead-bound, not pair-bound, and 2 us/slot is
+    # a safe envelope for segment sizing).
     nb = -(-cfg.n // tile)
     slots = (nb + 1) * (nb // 2 + 1) + nb
     per_step = (float(cfg.n) ** 2 / (_pacing_rate(cfg) * 1e9)

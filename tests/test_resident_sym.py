@@ -135,6 +135,34 @@ def test_simulate_routes_resident_when_forced():
             rtol=1e-4, atol=1e-5 * scale)
 
 
+def test_auto_tile_admission_and_picks():
+    """auto_tile returns the measured-fastest VMEM-admissible tile: every
+    choice respects the compile-verified _MAX_NB table, and the probed
+    optima (benchmarks/probe_resident_tiles.py, v5e round 3b) are pinned."""
+    from mini_nbody_tpu.ops.resident_sym import _MAX_NB, auto_tile
+    from mini_nbody_tpu.utils.config import round_up
+
+    # probed optima: tile=1024 wins the whole admissible mxu range
+    assert auto_tile(4096, True) == 1024     # 309.8 G/s vs 286.8 streamed
+    assert auto_tile(65536, True) == 1024    # 403.4 vs 330 at tile=512
+    assert auto_tile(114688, True) == 1024   # largest verified nb=112
+    assert auto_tile(131072, True) == 768    # nb=128 at 1024 exceeds VMEM
+    assert auto_tile(65536, False) == 768    # 245.6 vs 195.6 at 512
+    assert auto_tile(131072, False) == 512   # 768 fails VMEM at nb=171
+    # aligned small tiles beat padded big ones (768 at n=1024 would pad
+    # to 1536 = 2.25x the pair work)
+    assert auto_tile(512, True) == 512
+    assert auto_tile(1024, False) == 512
+    # fp32 never gets 1024/896 (4 live (T,T) temporaries exceed VMEM)
+    for n in (256, 1024, 4096, 65536, 131072):
+        assert auto_tile(n, False) <= 768
+    # admission invariant for arbitrary N
+    for n in (7, 600, 5000, 100000, 120000, 131072):
+        for mxu in (True, False):
+            t = auto_tile(n, mxu)
+            assert round_up(n, t) // t <= _MAX_NB[mxu][t]
+
+
 def test_resident_config_validation():
     with pytest.raises(ValueError, match="resident"):
         SimConfig(n=64, resident=True, backend="pallas")
