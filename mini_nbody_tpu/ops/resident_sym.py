@@ -44,11 +44,13 @@ Grid: ``(steps, nb + n_int, nd)`` with nd = nb//2 + 1 diagonal bands. For
 i < nb the slot computes force block (i, (i+d) mod nb); the trailing n_int
 i-slots integrate the nb state blocks (Euler, fused in-kernel).
 
-Measured regime (v5e, amortized harness — us/step vs the streamed path):
-N=512: 5.3 vs 11.4 (mxu) and 6.5 vs 10.6 (fp32); N=1024: 8.5 vs 12.4 and
-11.9 vs 14.3; N=2048: 23.0 vs 24.2 (mxu); N=4096 mxu: 54.2 vs 59.0
-(309.8 vs 286.8 G/s); N=8192 mxu: 195.2 vs 188.2 — streamed wins from
-8192 up. The round-3b slot-ablation probe
+Measured regime (v5e, round-3b bias-free harness — us/step, resident vs
+streamed): mxu mode N=512: 2.11 vs 2.82 (+34%); 1024: 5.14 vs 5.81;
+2048: 15.60 vs 16.44; 4096: 51.31 vs 51.08 (tie); 8192: 183.8 vs 180.8
+— streamed wins from 8192 up. fp32 mode N=512: 3.03 vs 3.21; 1024: 8.74
+vs 7.07 — streamed from 1024. (All round-2/3a small-N comparisons
+carried ~8 us/step of harness sync bias on both sides —
+utils/harness.auto_inner.) The round-3b slot-ablation probe
 (benchmarks/probe_resident_floor.py) overturned the round-2 "per-band
 iteration floor" story: grid slots cost only ~0.03-0.08 us each (144
 ablated slots at N=8192 ran in 5.5-12.8 us/step); what actually bounds
@@ -58,15 +60,15 @@ measured 330 -> 405 G/s at N=65536). The old "~0.55-2.2 us/slot floor"
 was the since-removed identity-transpose scratch work, not Mosaic
 overhead. With the (tile, 8) pw scratch, tile=1024 mxu is VMEM-
 admissible to N=114688 (407.9 G/s measured; nb=128 exceeds VMEM) — the
-resident mxu path now runs 309.8 / 343.7 / 387.8 / 403.4 / 380.7 G/s at
-N=4k / 8k / 16k / 65k / 131k, within 4% of streamed from 16k (vs ~60%
+resident mxu path now runs 327.0 / 365.1 / 387.8 / 403.4 / 380.7 G/s at
+N=4k / 8k / 16k / 65k / 131k, within 4% of streamed from 8k (vs ~60%
 of streamed at the old tile=512 cap). fp32 keeps 4 (T,T) temporaries
 live (w + three weighted displacements), capping its tile at 768
-(245.6 G/s at N=65536) — streamed from N=2048 up. Both the round-2
+(245.6 G/s at N=65536) — streamed from N=1024 up. Both the round-2
 resident kernel's "3.9x at N=4096" headline and the ">=500 us streamed
 launch overhead" it was measured against were artifacts of the old
 un-amortized harness (utils/harness.auto_inner). sim.simulate
-auto-routes N <= 1024 (fp32) / 4096 (mxu).
+auto-routes N <= 512 (fp32) / 4096 (mxu).
 
 Leapfrog needs NO second kernel: KDK with the two half-kicks merged is the
 Euler update on staggered velocities — v_{k+1/2} = v_{k-1/2} + dt*a(x_k),

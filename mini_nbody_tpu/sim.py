@@ -175,17 +175,19 @@ def simulate(
 
 #: Auto-routing crossovers for the resident kernel (ops/resident_sym.py)
 #: vs the streamed per-step path, per precision class, measured on v5e
-#: with the amortized harness (us/step, resident vs streamed): N=512:
-#: 5.3 vs 11.4 (mxu) / 6.5 vs 10.6 (fp32); N=1024: 8.5 vs 12.4 / 11.9 vs
-#: 14.3; N=2048: 23.0 vs 24.2 / 34.7 vs 27.3; N=4096 mxu: 54.2 vs 59.0
-#: (309.8 vs 286.8 G/s — the round-3b tile probe unlocked tile=1024 in
-#: the >2048 band); N=8192 mxu: 195.2 vs 188.2 — the streamed path wins
-#: from 8192 up (0.93+ of roofline from N=16384). The fp32 class stays
-#: streamed from 2048: its resident body keeps 4 (T,T) temporaries live,
-#: capping the tile at 768 and the body rate at ~245 G/s vs 340+
-#: streamed. cfg.resident=True forces the resident path at any N up to
-#: its VMEM cap; False pins the streamed path.
-RESIDENT_AUTO_MAX_N = {"sym": 1024, "sym_mxu": 4096}
+#: with the round-3b bias-free harness (auto_inner cap 65536 — the old
+#: cap=4096 left ~8 us/step of sync overhead on BOTH paths at N<=8192
+#: and exaggerated every small-N resident win). us/step, resident vs
+#: streamed: mxu — N=512: 2.11 vs 2.82 (+34%); 1024: 5.14 vs 5.81;
+#: 2048: 15.60 vs 16.44; 4096: 51.31 vs 51.08 (tie — routed resident for
+#: fewer host dispatches); 8192: 183.8 vs 180.8 — streamed wins from
+#: 8192 up (0.93+ of roofline from N=16384). fp32 — N=512: 3.03 vs 3.21
+#: (+6%); 1024: 8.74 vs 7.07 — streamed from 1024: the fp32 resident
+#: body keeps 4 (T,T) temporaries live, capping its tile at 768 and its
+#: body rate below the streamed kernel's. cfg.resident=True forces the
+#: resident path at any N up to its VMEM cap; False pins the streamed
+#: path.
+RESIDENT_AUTO_MAX_N = {"sym": 512, "sym_mxu": 4096}
 
 
 def _route_resident(cfg: SimConfig, steps: int) -> bool:

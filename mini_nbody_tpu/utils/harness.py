@@ -92,7 +92,7 @@ def time_fn(fn: Callable, *args, reps: int = 3, warmup: int = 1) -> float:
     return float(np.median(times))
 
 
-def auto_inner(n: int, target_pairs: float = 4e12, cap: int = 4096) -> int:
+def auto_inner(n: int, target_pairs: float = 4e12, cap: int = 65536) -> int:
     """Steps per timed sync so fixed dispatch overhead (~33 ms through the
     axon tunnel) amortizes below ~0.5%: ~target_pairs interactions/sync is
     ~10 s of kernel time at the headline rate (and safely inside both the
@@ -100,7 +100,12 @@ def auto_inner(n: int, target_pairs: float = 4e12, cap: int = 4096) -> int:
     CLAUDE.md). The old 1.2e11 target left N=262,144 syncing every step:
     33 ms on a 199 ms step read as a fake 18% "throughput valley" at
     exactly the official config-3 size (round-2 VERDICT item 1; re-measured
-    409.3 G/s = 0.972 roofline, vs 345.3 mis-measured)."""
+    409.3 G/s = 0.972 roofline, vs 345.3 mis-measured). The round-3a
+    cap=4096 was the same bug one octave down: at N<=8192 it left ~8 us
+    (33 ms / 4096) of sync overhead on every step — 40%+ of an N=1024
+    step, -14% at N=4096. cap=65536 keeps the worst small-N sync share
+    below ~6% (N=1024 resident: 0.56 s device work per sync) while scan
+    compile time stays length-independent."""
     return max(1, min(cap, int(target_pairs // (float(n) * n) or 1)))
 
 
@@ -112,6 +117,10 @@ def time_step_fn(step: Callable, carry, n: int, reps: int = 3,
 
     if inner is None:
         inner = auto_inner(n)
+        if jax.default_backend() != "tpu":
+            # No ~33 ms tunnel sync to amortize off-TPU (CPU tests):
+            # long scans only slow the suite.
+            inner = min(inner, 64)
     if inner == 1:
         # Skip the scan wrapper: at this size the 33 ms sync overhead is
         # already negligible and the scan only slows compilation.

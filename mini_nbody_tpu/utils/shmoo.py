@@ -17,22 +17,68 @@ import jax
 import jax.numpy as jnp
 
 from mini_nbody_tpu.models import init as minit
-from mini_nbody_tpu.sim import make_step_fn
+from mini_nbody_tpu.sim import _route_resident, make_step_fn
 from mini_nbody_tpu.utils.config import SimConfig
-from mini_nbody_tpu.utils.harness import Throughput, roofline_path, time_step_fn
+from mini_nbody_tpu.utils.harness import (
+    Throughput, auto_inner, roofline_path, time_step_fn)
 
 FIELDS = ["n", "backend", "seconds", "ginteractions_per_s", "per_device",
           "gflops_20c", "roofline_frac"]
 
 
+def _time_resident(cfg: SimConfig, state, reps: int) -> float:
+    """Seconds/step of the multi-step fused resident kernel (the path
+    simulate() actually takes at this config), amortized over
+    auto_inner(n) in-kernel steps per sync — same methodology as the
+    streamed time_step_fn."""
+    import time
+
+    import numpy as np
+
+    from mini_nbody_tpu.ops.resident_sym import simulate_resident_sym
+
+    # Interpret mode (CPU tests) executes the kernel step-by-step in
+    # Python: full amortization there would take hours and measures
+    # nothing real anyway.
+    steps = 4 if cfg.resolve_interpret() else auto_inner(cfg.n)
+    mxu = cfg.effective_backend() == "sym_mxu"
+
+    def once():
+        t0 = time.perf_counter()
+        pos, _ = simulate_resident_sym(
+            state.pos, state.vel, state.mass if cfg.use_masses else None,
+            steps=steps, dt=float(cfg.dt), softening=float(cfg.softening),
+            mxu=mxu, tile=cfg.resident_tile,
+            interpret=cfg.resolve_interpret())
+        np.asarray(jax.device_get(pos[0, 0]))
+        return time.perf_counter() - t0
+
+    once()
+    return min(once() for _ in range(reps)) / steps
+
+
 def sweep(cfg: SimConfig, ns: List[int], reps: int = 3,
           mesh: Optional[object] = None) -> List[dict]:
-    """Time one integration step per N in ns; returns report rows."""
+    """Time one integration step per N in ns; returns report rows.
+
+    Single-chip rows follow simulate()'s own routing: configs that
+    auto-route the resident kernel (sim.RESIDENT_AUTO_MAX_N) are timed on
+    it and labeled ``<backend>_resident`` — the shmoo reports what the
+    framework delivers, not just the streamed kernel."""
     rows = []
     n_devices = 1 if mesh is None else mesh.devices.size
     for n in ns:
         c = cfg.replace(n=n)
         state = minit.uniform_random(jax.random.key(0), n)
+        resident = mesh is None and _route_resident(c, steps=2)
+        if resident:
+            sec = _time_resident(c, state, reps)
+            t = Throughput(n=n, steps=1, seconds=sec, n_devices=1)
+            row = {"backend": c.effective_backend() + "_resident",
+                   **t.report(path=roofline_path(c))}
+            row.pop("steps", None)
+            rows.append(row)
+            continue
         if mesh is None:
             step = make_step_fn(c)
             acc = jnp.zeros_like(state.pos)

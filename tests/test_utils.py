@@ -32,7 +32,7 @@ def test_helpers():
     assert round_up(100, 128) == 128 and round_up(256, 128) == 256
     assert auto_inner(1 << 20) == 3   # ~10 s/sync at the headline rate
     assert auto_inner(1 << 22) == 1   # one step already amortizes
-    assert auto_inner(1024) == 4096   # capped
+    assert auto_inner(1024) == 65536  # capped (sync share ~6% at 0.56 s/sync)
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -69,6 +69,16 @@ def test_shmoo_rows_and_csv():
     assert csv_text.splitlines()[0].startswith("n,backend,")
     assert len(csv_text.splitlines()) == 3
     assert all(r["ginteractions_per_s"] > 0 for r in rows)
+
+
+def test_shmoo_resident_route_row():
+    """Forced-resident configs are timed on the resident kernel and the
+    row says so — the shmoo reports simulate()'s actual routing."""
+    cfg = SimConfig(n=64, dt=1e-3, backend="sym_mxu", resident=True,
+                    interpret=True)
+    rows = shmoo.sweep(cfg, [64], reps=1)
+    assert rows[0]["backend"] == "sym_mxu_resident"
+    assert rows[0]["ginteractions_per_s"] > 0
 
 
 def test_throughput_math():
