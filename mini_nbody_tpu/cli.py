@@ -66,6 +66,13 @@ def _add_common(p):
                    help="sym_mxu accuracy mode: compensate the bf16 pair-"
                         "weight rounding with a second lo-pass matmul "
                         "(~1e-5-class error at ~306 GInter/s)")
+    p.add_argument("--coincident", choices=["auto", "masked", "fast"],
+                   default="auto",
+                   help="sym_mxu d2==0 mask policy: auto = exact duplicate "
+                        "scan picks the maskless kernels when safe (+13%% "
+                        "measured, bitwise-identical results); masked = "
+                        "always mask; fast = never (caller guarantees "
+                        "distinct positions)")
 
 
 def _parse_mesh(devices):
@@ -88,6 +95,7 @@ def _build(args):
         mesh_shape=_parse_mesh(args.devices),
         fused_integrate=args.fused_integrate,
         split_w=args.split_w,
+        coincident=getattr(args, "coincident", "auto"),
         resident={"auto": None, "on": True, "off": False}[
             getattr(args, "resident", "auto")],
         # uniform init has unit masses (reference semantics -> fast path);

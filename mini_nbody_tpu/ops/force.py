@@ -26,11 +26,15 @@ def body_force(
     split_w: bool = False,
     sym_tile: int | None = None,
     sym_chunk: int | None = None,
+    coincident: str = "auto",
 ):
     """Forces on pos_i (Ni,3) from sources (pos_j, mass_j). Returns (Ni,3) fp32.
 
     All backends handle self/coincident pairs exactly (zero contribution) by
-    construction, so rectangular and sharded calls need no extra flags.
+    construction, so rectangular and sharded calls need no extra flags;
+    `coincident` only selects HOW sym_mxu pays for that guarantee
+    (SimConfig.coincident / ops/sym_mxu_force.py docstring) and is ignored
+    by every other backend.
     """
     if backend == "jnp":
         # Bound the (Ni, Nj) intermediate for big problems.
@@ -82,7 +86,7 @@ def body_force(
 
             return body_force_sym_mxu(
                 pos_i, mass_j, softening=softening, interpret=interpret,
-                split_w=split_w, **kw,
+                split_w=split_w, coincident=coincident, **kw,
             )
         from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
 
@@ -108,6 +112,7 @@ def make_force_fn(cfg: SimConfig):
             interpret=interpret, pair_dtype=pair_dtype,
             split_w=cfg.split_w,
             sym_tile=cfg.sym_tile, sym_chunk=cfg.sym_chunk,
+            coincident=cfg.coincident,
         )
 
     return force

@@ -35,9 +35,15 @@ and are summed in the epilogue. Residual operand error ~1e-5*|p| (16
 effective mantissa bits), below the w term even at |p|/|d| ~ 300. The
 remaining ~3e-3 relative error class is uniform (no cancellation tails);
 the fp32-exact headline stays with symmetric_force.py. Self/coincident
-pairs are masked on the pre-softening |d|^2 == 0 (their eps^-1.5 weight
-would otherwise swamp the accumulators — same mask as
-mxu_force.py/autodiff.py).
+pairs must NOT reach the accumulators (their eps^-1.5 weight would swamp
+them — same hazard as mxu_force.py/autodiff.py), but the per-pair
+|d|^2 == 0 mask costs a measured 12.8% of the whole pass (2 of ~19 VPU
+ops/pair; benchmarks/probe_w_variants.py). Round 3 therefore masks only
+where a hot d2 == 0 pair can exist: diagonal blocks always (self pairs),
+off-diagonal blocks only when an O(N log N) exact duplicate scan finds
+distinct coincident bodies (coincident='auto' — a lax.cond picks the
+masked kernels then, so results stay bitwise identical to full masking
+for every input; see any_coincident and body_force_sym_mxu).
 
 Structure: same diagonal-band traversal and accumulator layout as
 symmetric_force.py (rows = blocked (T,8) output with consecutive-revisit
@@ -64,8 +70,19 @@ from mini_nbody_tpu.ops.pallas_compat import (
 )
 
 
-def _w_block(pi, pjt, softening, fast):
-    """(T,3) x (3,T) -> masked pair weights w (T,T)."""
+def _w_block(pi, pjt, softening, fast, mask=True):
+    """(T,3) x (3,T) -> pair weights w (T,T), d2==0 masked iff ``mask``.
+
+    The mask costs ~2 VPU ops of the body's ~19 per unordered pair —
+    measured 12.8% of the whole N=1M force pass (benchmarks/
+    probe_w_variants.py: 467.0 vs 414.0 GInter/s). It is only NEEDED
+    where a d2 == 0 pair can carry a non-zero operand: self pairs (the
+    diagonal blocks) and exactly-coincident distinct bodies (detected
+    once per pass by any_coincident; see body_force_sym_mxu). FAR-pad
+    pairs also hit d2 == 0 unmasked, but their eps^-1.5 * FAR products
+    stay finite (< 5e36 at chunk<=131072) and land only in pad rows/
+    cols, which are sliced off — real rows see pads at |d|~FAR, where
+    r2^3 overflows to inf and rsqrt(inf) = 0 exactly."""
     xi, yi, zi = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
     dx = pjt[0:1, :] - xi
     dy = pjt[1:2, :] - yi
@@ -77,10 +94,26 @@ def _w_block(pi, pjt, softening, fast):
     else:
         inv = jax.lax.rsqrt(r2)
         w = (inv * inv) * inv
+    if not mask:
+        return w
     # Coincident/self pairs: the matmul accumulation separates sum(w*p) and
     # sum(w), so the analytic zero no longer cancels — mask exactly like
     # mxu_force.py.
     return jnp.where(d2 == 0.0, jnp.asarray(0.0, w.dtype), w)
+
+
+def any_coincident(pos):
+    """True iff two rows of pos (N,3) are exactly equal as fp32 values.
+
+    O(N log N): lexsort the (canonicalized, so -0.0 == +0.0 sorts
+    together) coordinates and compare neighbors. Drives coincident='auto'
+    — the maskless kernels are bitwise-identical to the masked ones
+    whenever this is False, because the d2 == 0 mask then only ever
+    fires on diagonal-block self pairs (always masked) and pad pairs
+    (outputs discarded; see _w_block)."""
+    p = pos.astype(jnp.float32) + 0.0  # -0.0 -> +0.0
+    q = p[jnp.lexsort((p[:, 2], p[:, 1], p[:, 0]))]
+    return jnp.any(jnp.all(q[1:] == q[:-1], axis=1))
 
 
 def _mm(a, b, dims):
@@ -115,8 +148,13 @@ def _mm_cols(vi, w_parts):
 
 
 def _tri_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
-                softening, tile, fast, nb, split_w):
-    """Self-chunk diagonal-band step: block (i, (i+d) mod nb) at grid (i, d)."""
+                softening, tile, fast, nb, split_w, mask_offdiag=True):
+    """Self-chunk diagonal-band step: block (i, (i+d) mod nb) at grid (i, d).
+
+    Diagonal blocks (d == 0) always mask d2 == 0 (self pairs); off-
+    diagonal blocks mask only when mask_offdiag — the maskless body is
+    ~13% faster and exact unless distinct coincident bodies exist
+    (any_coincident gates that outside)."""
     i = pl.program_id(0)
     d = pl.program_id(1)
     jg = jax.lax.rem(i + d, jnp.int32(nb))  # vi/vj refs are (T, 8) [vhi|vlo]
@@ -127,29 +165,28 @@ def _tri_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
 
     active = jnp.logical_or(d * 2 != nb, i * 2 < nb)
 
-    @pl.when(active)
-    def _work():
-        w = _w_parts(_w_block(pi_ref[:], pjt_ref[:], softening, fast), split_w)
-        s_r = _mm_rows(w, vj_ref[:])  # (T, 8)
+    @pl.when(d == 0)  # always active; self pairs: always masked
+    def _diag():
+        w = _w_parts(_w_block(pi_ref[:], pjt_ref[:], softening, fast),
+                     split_w)
+        rows_ref[:] = _mm_rows(w, vj_ref[:])  # (T, 8)
 
-        @pl.when(d == 0)
-        def _rows_init():
-            rows_ref[:] = s_r
-
-        @pl.when(d > 0)
-        def _rows_acc():
-            rows_ref[:] = rows_ref[:] + s_r
-
-        @pl.when(d > 0)  # diagonal blocks: row sums already cover both orders
-        def _cols():
-            s_c = _mm_cols(vi_ref[:], w)  # (8, T)
-            cj = pl.ds(jg * tile, tile)
-            colsT_ref[:, cj] = colsT_ref[:, cj] + s_c
+    @pl.when(jnp.logical_and(active, d > 0))
+    def _off():
+        w = _w_parts(_w_block(pi_ref[:], pjt_ref[:], softening, fast,
+                              mask=mask_offdiag), split_w)
+        rows_ref[:] = rows_ref[:] + _mm_rows(w, vj_ref[:])
+        # diagonal blocks: row sums already cover both orders
+        s_c = _mm_cols(vi_ref[:], w)  # (8, T)
+        cj = pl.ds(jg * tile, tile)
+        colsT_ref[:, cj] = colsT_ref[:, cj] + s_c
 
 
 def _cross_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
-                  softening, tile, fast, split_w):
-    """Cross-chunk step (i in chunk a, j in chunk b, a != b)."""
+                  softening, tile, fast, split_w, mask=True):
+    """Cross-chunk step (i in chunk a, j in chunk b, a != b): no self
+    pairs, so the d2 == 0 mask is needed only for distinct coincident
+    bodies (mask=False when any_coincident ruled those out)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -157,7 +194,8 @@ def _cross_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
     def _zero_cols():
         colsT_ref[:] = jnp.zeros_like(colsT_ref)
 
-    w = _w_parts(_w_block(pi_ref[:], pjt_ref[:], softening, fast), split_w)
+    w = _w_parts(_w_block(pi_ref[:], pjt_ref[:], softening, fast, mask=mask),
+                 split_w)
     s_r = _mm_rows(w, vj_ref[:])
 
     @pl.when(j == 0)
@@ -186,7 +224,8 @@ def _common_params(pairs, io_bytes):
     )
 
 
-def _build_calls(softening, tile, c, interpret, split_w=False):
+def _build_calls(softening, tile, c, interpret, split_w=False,
+                 mask_offdiag=True):
     """The two Mosaic kernels for chunk size c (shared by the one-program
     and host-segmented drivers)."""
     nb = c // tile
@@ -195,7 +234,8 @@ def _build_calls(softening, tile, c, interpret, split_w=False):
     vm = pltpu.VMEM
     tri_call = pl.pallas_call(
         functools.partial(_tri_kernel, softening=float(softening), tile=tile,
-                          fast=fast, nb=nb, split_w=split_w),
+                          fast=fast, nb=nb, split_w=split_w,
+                          mask_offdiag=mask_offdiag),
         grid=(nb, nd),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i, d: (i, 0), memory_space=vm),
@@ -220,7 +260,8 @@ def _build_calls(softening, tile, c, interpret, split_w=False):
     )
     cross_call = pl.pallas_call(
         functools.partial(_cross_kernel, softening=float(softening),
-                          tile=tile, fast=fast, split_w=split_w),
+                          tile=tile, fast=fast, split_w=split_w,
+                          mask=mask_offdiag),
         grid=(nb, nb),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i, j: (i, 0), memory_space=vm),
@@ -330,36 +371,13 @@ def _make_scan_bodies(tri_call, cross_call, c):
     return tri_body, cross_body
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("softening", "tile", "chunk", "interpret", "split_w"),
-)
-def body_force_sym_mxu(
-    pos,
-    mass=None,
-    softening: float = SOFTENING,
-    tile: int = 1024,
-    chunk: int = 131072,
-    interpret: bool = False,
-    split_w: bool = False,
-):
-    """All-pairs forces via the symmetric MXU hybrid (module docstring).
-
-    Mass mode costs the same as unit-mass: masses fold into the [m*p | m]
-    matmul operands computed once outside the kernel. bf16-accumulate error
-    class with the compensated operand split (~1e-4 median / ~1e-3 p99);
-    split_w adds a compensating lo-pass for w too (~1e-5 class, measured
-    rate in benchmarks/RESULTS.md); use backend='sym' for fp32-exact.
-    """
-    n = pos.shape[0]
-    tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
-    pos, pjt, v = _pack(pos, mass, n, np_)
+def _accumulate(pos, pjt, v, softening, tile, c, nc, np_, interpret,
+                split_w, mask_offdiag):
+    """Raw (rows (Np,8), colsT (8,Np)) sums for one mask choice."""
     tri_call, cross_call = _build_calls(softening, tile, c, interpret,
-                                        split_w)
-
+                                        split_w, mask_offdiag)
     if nc == 1:
-        rows, colsT = tri_call(pos, pjt, v, v)
-        return _epilogue(pos, rows, colsT.T)[:n]
+        return tri_call(pos, pjt, v, v)
 
     tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c)
     carry = (jnp.zeros((np_, 8), jnp.float32),
@@ -371,8 +389,66 @@ def body_force_sym_mxu(
 
     pair_offs = jnp.asarray(cross_pair_offsets(nc, c), dtype=jnp.int32)
     carry, _ = jax.lax.scan(cross_body, carry, pair_offs)
+    return carry[0], carry[1]
 
-    return _epilogue(pos, carry[0], carry[1].T)[:n]
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "chunk", "interpret", "split_w",
+                     "coincident"),
+)
+def body_force_sym_mxu(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int = 1024,
+    chunk: int = 131072,
+    interpret: bool = False,
+    split_w: bool = False,
+    coincident: str = "auto",
+):
+    """All-pairs forces via the symmetric MXU hybrid (module docstring).
+
+    Mass mode costs the same as unit-mass: masses fold into the [m*p | m]
+    matmul operands computed once outside the kernel. bf16-accumulate error
+    class with the compensated operand split (~1e-4 median / ~1e-3 p99);
+    split_w adds a compensating lo-pass for w too (~1e-5 class, measured
+    rate in benchmarks/RESULTS.md); use backend='sym' for fp32-exact.
+
+    coincident: how exactly-coincident DISTINCT bodies are kept at their
+    exact zero mutual force (self pairs are always handled — the diagonal
+    blocks mask unconditionally):
+      * "auto" (default): an O(N log N) exact duplicate scan
+        (any_coincident, ~0.3% of the pass at N=1M) picks between the
+        masked and maskless kernels via lax.cond — output is bitwise
+        identical to "masked" for EVERY input, at the maskless rate
+        (+12.8% measured at N=1M) whenever no duplicates exist.
+      * "masked": the per-pair d2 == 0 mask in every block (round-2
+        behavior; no detector pass, one kernel pair compiled).
+      * "fast": maskless kernels unconditionally — callers that
+        guarantee distinct positions; duplicate inputs get garbage
+        (accumulator swamping, module docstring).
+    Under vmap the "auto" cond degrades to running both branches.
+    """
+    if coincident not in ("auto", "masked", "fast"):
+        raise ValueError(
+            f"coincident must be 'auto', 'masked' or 'fast', "
+            f"got {coincident!r}")
+    n = pos.shape[0]
+    tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
+    dup = any_coincident(pos) if coincident == "auto" else None
+    pos, pjt, v = _pack(pos, mass, n, np_)
+
+    def run(mask_offdiag):
+        return _accumulate(pos, pjt, v, softening, tile, c, nc, np_,
+                           interpret, split_w, mask_offdiag)
+
+    if coincident == "auto":
+        rows, colsT = jax.lax.cond(
+            dup, lambda: run(True), lambda: run(False))
+    else:
+        rows, colsT = run(coincident == "masked")
+    return _epilogue(pos, rows, colsT.T)[:n]
 
 
 def _combine(pos, s):
@@ -391,6 +467,7 @@ def body_force_pair_mxu(
     tile: int = 1024,
     interpret: bool = False,
     split_w: bool = False,
+    coincident: str = "masked",
 ):
     """Forces between two DISJOINT body sets via the MXU hybrid, each cross
     pair computed once: returns (F_on_a, F_on_b) with F_on_b the reactions.
@@ -404,9 +481,20 @@ def body_force_pair_mxu(
     Like the VPU pair kernel, the (8, Nb) reaction buffer lives whole in
     VMEM, which bounds a single launch to ring-shard-sized blocks (~512k
     bodies per side at 16 MB VMEM) — exactly the half-ring's use.
+
+    coincident: "masked" (default — a body can legitimately appear in
+    both sets at the same position under exotic shardings, and ring-hop
+    shards are small enough that the mask cost stays modest), "fast"
+    (maskless, for callers that guarantee no cross-set duplicates), or
+    "auto" (lax.cond on an exact duplicate scan of the CONCATENATED
+    sets — conservative: within-set duplicates also route to masked).
     """
     if (mass_a is None) != (mass_b is None):
         raise ValueError("body_force_pair_mxu needs both masses or neither")
+    if coincident not in ("auto", "masked", "fast"):
+        raise ValueError(
+            f"coincident must be 'auto', 'masked' or 'fast', "
+            f"got {coincident!r}")
     na, nb_n = pos_a.shape[0], pos_b.shape[0]
     t = min(tile, round_up(na, 8), round_up(nb_n, 8))
     if not interpret:
@@ -414,14 +502,30 @@ def body_force_pair_mxu(
         t = round_up(t, 128)
     na_p = round_up(na, t)
     nb_p = round_up(nb_n, t)
+    dup = (any_coincident(jnp.concatenate([pos_a, pos_b]))
+           if coincident == "auto" else None)
     pa, _, va = _pack(pos_a, mass_a, na, na_p)
     pb, pbt, vb = _pack(pos_b, mass_b, nb_n, nb_p)
-
-    fast = fast_rsqrt_cube(softening)
     vm = pltpu.VMEM
-    rows, colsT = pl.pallas_call(
+
+    def run(mask):
+        return _pair_call(softening, t, na_p, nb_p, interpret, split_w,
+                          mask, vm)(pa, pbt, va, vb)
+
+    if coincident == "auto":
+        rows, colsT = jax.lax.cond(
+            dup, lambda: run(True), lambda: run(False))
+    else:
+        rows, colsT = run(coincident == "masked")
+
+    return _combine(pa, rows)[:na], _combine(pb, colsT.T)[:nb_n]
+
+
+def _pair_call(softening, t, na_p, nb_p, interpret, split_w, mask, vm):
+    return pl.pallas_call(
         functools.partial(_cross_kernel, softening=float(softening),
-                          tile=t, fast=fast, split_w=split_w),
+                          tile=t, fast=fast_rsqrt_cube(softening),
+                          split_w=split_w, mask=mask),
         grid=(na_p // t, nb_p // t),
         in_specs=[
             pl.BlockSpec((t, 3), lambda i, j: (i, 0), memory_space=vm),
@@ -439,19 +543,18 @@ def body_force_pair_mxu(
         ],
         interpret=interpret,
         **_common_params(na_p * nb_p, (na_p + nb_p) * 48),
-    )(pa, pbt, va, vb)
-
-    return _combine(pa, rows)[:na], _combine(pb, colsT.T)[:nb_n]
+    )
 
 
 @functools.lru_cache(maxsize=16)
-def _segmented_runners(softening, tile, c, interpret, split_w=False):
+def _segmented_runners(softening, tile, c, interpret, split_w=False,
+                       mask_offdiag=True):
     """Cached (per static config) jitted group runners — see
     symmetric_force._segmented_runners."""
     from mini_nbody_tpu.ops import hostseg
 
     tri_call, cross_call = _build_calls(softening, tile, c, interpret,
-                                        split_w)
+                                        split_w, mask_offdiag)
     tri_body, cross_body = _make_scan_bodies(tri_call, cross_call, c)
     return hostseg.make_runners(tri_body, cross_body)
 
@@ -466,18 +569,32 @@ def body_force_sym_mxu_segmented(
     pairs_per_dispatch: float = 4e12,
     progress=None,
     split_w: bool = False,
+    coincident: str = "auto",
 ):
     """body_force_sym_mxu driven as multiple host dispatches for N where one
     force pass exceeds the execution watchdog (shared driver + crash-bound
     rationale: ops/hostseg.py). Same kernels and unit order as the
-    one-program path (few-ulp diffs from XLA dot reassociation only)."""
+    one-program path (few-ulp diffs from XLA dot reassociation only).
+    coincident as in body_force_sym_mxu, except 'auto' resolves the
+    duplicate scan on the HOST (this driver is host-stepped anyway), so
+    only one kernel pair is compiled."""
     from mini_nbody_tpu.ops import hostseg
 
+    if coincident not in ("auto", "masked", "fast"):
+        raise ValueError(
+            f"coincident must be 'auto', 'masked' or 'fast', "
+            f"got {coincident!r}")
+    if coincident == "auto":
+        import numpy as _np
+
+        mask_offdiag = bool(_np.asarray(jax.jit(any_coincident)(pos)))
+    else:
+        mask_offdiag = coincident == "masked"
     n = pos.shape[0]
     tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
     pos, pjt, v = _pack(pos, mass, n, np_)
     run_tri, run_cross = _segmented_runners(
-        float(softening), tile, c, interpret, split_w)
+        float(softening), tile, c, interpret, split_w, mask_offdiag)
 
     accs = (jnp.zeros((np_, 8), jnp.float32),
             jnp.zeros((8, np_), jnp.float32))

@@ -136,10 +136,17 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
         if backend in ("mxu", "sym_mxu"):
             from mini_nbody_tpu.ops import sym_mxu_force
 
-            pair_kernel = partial(sym_mxu_force.body_force_pair_mxu,
-                                  split_w=cfg.split_w)
+            # coincident='auto' scans the LOCAL shard — exactly the set the
+            # square self kernel sees. Cross-hop pairs keep the pair
+            # kernel's masked default (a per-hop concat rescan would cost
+            # more than the ~13% mask on ring-shard-sized blocks) unless
+            # the caller asserts 'fast' for everything.
+            pair_kernel = partial(
+                sym_mxu_force.body_force_pair_mxu, split_w=cfg.split_w,
+                coincident="fast" if cfg.coincident == "fast" else "masked")
             self_kernel = partial(sym_mxu_force.body_force_sym_mxu,
-                                  split_w=cfg.split_w, **sym_kw)
+                                  split_w=cfg.split_w,
+                                  coincident=cfg.coincident, **sym_kw)
         else:
             from mini_nbody_tpu.ops.symmetric_force import (
                 body_force_pair as pair_kernel, body_force_symmetric)
@@ -209,7 +216,7 @@ def _make_local_force(cfg: SimConfig, n_shards: int):
 
             return body_force_sym_mxu(
                 pos_local, m, softening=cfg.softening, interpret=interpret,
-                split_w=cfg.split_w, **sym_kw,
+                split_w=cfg.split_w, coincident=cfg.coincident, **sym_kw,
             )
         if use_sym_self:
             from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric

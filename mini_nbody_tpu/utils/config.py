@@ -53,7 +53,7 @@ class SimConfig:
         Newton's-third-law kernel computing each pair once (fp32-exact,
         mass or unit-mass; see ops/symmetric_force.py). "sym_mxu" =
         symmetric x MXU hybrid: w once per unordered pair on the VPU, row
-        AND reaction sums as MXU matmuls — the fastest kernel (413.6
+        AND reaction sums as MXU matmuls — the fastest kernel (472.9
         GInter/s at N=1M on v5e, mass mode same speed) at bf16-accumulate
         accuracy with the compensated operand split (~1e-4 median force
         error; see ops/sym_mxu_force.py). The pair-once backends shard
@@ -101,6 +101,14 @@ class SimConfig:
         benchmarks/RESULTS.md "Compensated bf16 operand splits"). The
         accuracy record for mass systems; unit-mass systems are better
         served by the fp32-exact 'sym'. Ignored by other backends.
+      coincident: how the sym_mxu kernels keep exactly-coincident DISTINCT
+        bodies at their exact zero mutual force. "auto" (default): an
+        O(N log N) exact duplicate scan picks maskless kernels (+12.8%
+        measured at N=1M) whenever no duplicates exist — bitwise identical
+        to "masked" for every input. "masked": the round-2 per-pair
+        d2 == 0 mask everywhere. "fast": maskless unconditionally (caller
+        guarantees distinct positions). Self pairs are always exact;
+        other backends need no flag (ops/sym_mxu_force.py docstring).
       resident: whole-trajectory resident kernel (ops/resident_sym.py:
         every step fused into ONE Pallas launch, state in VMEM, leapfrog
         via half-kick staggering). None = auto: simulate() routes
@@ -137,6 +145,7 @@ class SimConfig:
     fused_integrate: bool = False
     split_w: bool = False
     resident: Optional[bool] = None
+    coincident: str = "auto"
 
     def __post_init__(self):
         if self.n <= 0:
@@ -150,6 +159,11 @@ class SimConfig:
         if self.pair_dtype not in _PAIR_DTYPES:
             raise ValueError(
                 f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"
+            )
+        if self.coincident not in ("auto", "masked", "fast"):
+            raise ValueError(
+                "coincident must be 'auto', 'masked' or 'fast', "
+                f"got {self.coincident!r}"
             )
         # backend 'sym'/'sym_mxu' under a rectangular exchange routes
         # streaming work to the same precision class (sym -> pallas,

@@ -38,9 +38,13 @@ VPU_OPS_PER_INTERACTION_SYM = 11.5
 #: displacement recompute for VMEM liveness — ops/symmetric_force.py).
 VPU_OPS_PER_INTERACTION_SYM_MASS = 16.0
 
-#: The sym x MXU hybrid keeps only distances + rsqrt + mask on the VPU
-#: (~19 op-equivalents per unordered pair; products/reductions ride the MXU).
-VPU_OPS_PER_INTERACTION_SYM_MXU = 9.5
+#: The sym x MXU hybrid keeps only distances + rsqrt on the VPU (~17
+#: op-equivalents per unordered pair; products/reductions ride the MXU).
+#: The default coincident='auto' route runs maskless off-diagonal blocks
+#: (ops/sym_mxu_force.py); the always-masked family pays ~2 more
+#: op-equivalents per pair (measured 414.0 vs 472.9 G/s at N=1M), so
+#: coincident='masked' runs report ~0.88 of this ceiling by construction.
+VPU_OPS_PER_INTERACTION_SYM_MXU = 8.5
 
 #: Peak-throughput estimates per chip generation (per-chip, fp32 VPU ops/s and
 #: bf16 MXU flops/s). v5e vpu_fp32 is the MEASURED sustained elementwise rate

@@ -251,6 +251,81 @@ def test_pair_mxu_mass_mismatch_raises():
         body_force_pair_mxu(s.pos, s.pos, s.mass, None, interpret=INTERP)
 
 
+def test_any_coincident():
+    from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
+
+    pos = init.uniform_random(jax.random.key(0), 257).pos
+    assert not bool(any_coincident(pos))
+    assert bool(any_coincident(pos.at[200].set(pos[3])))
+    # -0.0 and +0.0 coordinates are the SAME position (d2 == 0): the
+    # detector canonicalizes before sorting so they land adjacent.
+    neg = pos.at[0].set(jnp.array([0.5, -0.0, 0.25]))
+    assert bool(any_coincident(neg.at[1].set(jnp.array([0.5, 0.0, 0.25]))))
+
+
+def test_coincident_modes_bitwise_identical():
+    """coincident='auto'/'fast' must be BITWISE equal to 'masked' on
+    duplicate-free inputs (multi-chunk config: exercises tri diag, tri
+    off-diag and cross kernels plus the FAR tail pads), and 'auto' must
+    route duplicates to the masked kernels (again bitwise)."""
+    pos = init.uniform_random(jax.random.key(9), 300).pos
+    kw = dict(softening=1e-9, tile=64, chunk=128, interpret=INTERP)
+    f_m = np.asarray(body_force_sym_mxu(pos, coincident="masked", **kw))
+    for mode in ("auto", "fast"):
+        f = np.asarray(body_force_sym_mxu(pos, coincident=mode, **kw))
+        np.testing.assert_array_equal(f, f_m)
+    dup = pos.at[7].set(pos[3]).at[250].set(pos[3])  # cross-chunk trio
+    g_m = np.asarray(body_force_sym_mxu(dup, coincident="masked", **kw))
+    g_a = np.asarray(body_force_sym_mxu(dup, coincident="auto", **kw))
+    np.testing.assert_array_equal(g_a, g_m)
+    assert np.isfinite(g_a).all()
+
+
+def test_coincident_segmented_and_pair_modes():
+    from mini_nbody_tpu.ops.sym_mxu_force import (
+        body_force_pair_mxu, body_force_sym_mxu_segmented)
+
+    pos = init.uniform_random(jax.random.key(11), 300).pos
+    kw = dict(softening=1e-9, tile=64, chunk=128, interpret=INTERP)
+    h_m = np.asarray(body_force_sym_mxu_segmented(
+        pos, coincident="masked", **kw))
+    for mode in ("auto", "fast"):
+        h = np.asarray(body_force_sym_mxu_segmented(
+            pos, coincident=mode, **kw))
+        np.testing.assert_array_equal(h, h_m)
+
+    sb = init.uniform_random(jax.random.key(12), 200).pos
+    pkw = dict(softening=1e-9, tile=64, interpret=INTERP)
+    pa_m = body_force_pair_mxu(pos[:200], sb, coincident="masked", **pkw)
+    for mode in ("auto", "fast"):
+        pa = body_force_pair_mxu(pos[:200], sb, coincident=mode, **pkw)
+        np.testing.assert_array_equal(np.asarray(pa[0]), np.asarray(pa_m[0]))
+        np.testing.assert_array_equal(np.asarray(pa[1]), np.asarray(pa_m[1]))
+    # cross-set duplicate: 'auto' detects it on the concatenated sets
+    dup_b = sb.at[5].set(pos[17])
+    da = body_force_pair_mxu(pos[:200], dup_b, coincident="auto", **pkw)
+    dm = body_force_pair_mxu(pos[:200], dup_b, coincident="masked", **pkw)
+    np.testing.assert_array_equal(np.asarray(da[0]), np.asarray(dm[0]))
+    np.testing.assert_array_equal(np.asarray(da[1]), np.asarray(dm[1]))
+
+
+def test_coincident_validation_and_dispatch():
+    from mini_nbody_tpu import SimConfig
+    from mini_nbody_tpu.ops.force import body_force
+
+    pos = init.uniform_random(jax.random.key(2), 96).pos
+    with pytest.raises(ValueError, match="coincident"):
+        body_force_sym_mxu(pos, coincident="never", interpret=INTERP)
+    with pytest.raises(ValueError, match="coincident"):
+        SimConfig(n=96, coincident="nope")
+    # dispatcher threads the flag (identical output, no error)
+    f = body_force(pos, pos, backend="sym_mxu", interpret=INTERP,
+                   coincident="fast", sym_tile=32, sym_chunk=96)
+    ref = body_force(pos, pos, backend="sym_mxu", interpret=INTERP,
+                     coincident="masked", sym_tile=32, sym_chunk=96)
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(ref))
+
+
 def test_split_w_config_threads_through():
     from mini_nbody_tpu import SimConfig
     from mini_nbody_tpu.sim import make_step_fn
