@@ -115,7 +115,8 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
                          interpret: bool = False, unit_mass: bool = False,
                          tile_i: int | None = None, tile_j: int | None = None,
                          mass_grad: bool = False,
-                         sym_bwd_tile: int | None = None):
+                         sym_bwd_tile: int | None = None,
+                         coincident: str = "auto"):
     """Wrap ``force_impl(pos, mass) -> (N,3)`` (square self-force, any
     backend, non-differentiable) into a custom-VJP differentiable function.
 
@@ -127,13 +128,20 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
     fp32 symmetric backward).
     Gradients flow to pos; with mass_grad=True also to the per-body masses
     (dF_j/dm_k = w d_jk, ~2 extra ops/pair), otherwise the mass cotangent
-    is zero (mass treated as a static property)."""
+    is zero (mass treated as a static property).
+
+    coincident routes the SYMMETRIC backward kernels' off-diagonal
+    d2 == 0 mask (vjp_pos_sym / vjp_pos_sym_mxu docstrings; "auto" is
+    bitwise identical to "masked" for every input). The ordered fallbacks
+    (vjp_pos_pallas, rect-called-square, chunked jnp) always mask — their
+    every block contains the self pairs the mask absorbs."""
     if mass_grad and unit_mass:
         raise ValueError("mass_grad=True requires a mass-mode force "
                          "(unit_mass=False)")
     # Symmetric-backward tile override (utils/autotune's bwd family);
     # None keeps each kernel's measured-best default.
     _sym_kw = {} if sym_bwd_tile is None else {"tile": sym_bwd_tile}
+    _sym_kw["coincident"] = coincident
 
     @jax.custom_vjp
     def body_force_diff(pos, mass):
@@ -243,7 +251,7 @@ def make_differentiable_force(cfg, mass_grad: bool = False):
         impl, float(cfg.softening), backward=backward,
         interpret=cfg.resolve_interpret(), unit_mass=not cfg.use_masses,
         tile_i=cfg.tile_i, tile_j=cfg.tile_j, mass_grad=mass_grad,
-        sym_bwd_tile=cfg.sym_bwd_tile,
+        sym_bwd_tile=cfg.sym_bwd_tile, coincident=cfg.coincident,
     )
 
     def force(pos, mass=None):

@@ -19,6 +19,11 @@ The self term j = k cancels only ANALYTICALLY: at SOFTENING=1e-9 its weight
 w = eps^-1.5 ~ 3e13 swamps the fp32 running sums (measured 64x relative
 gradient error unmasked), so w and u are zeroed on exactly-coincident pairs
 (pre-softening |d|^2 == 0), matching ops/autodiff.py and ops/mxu_force.py.
+The symmetric backward (vjp_pos_sym) additionally adopts the forward
+hybrid's coincident='auto' refinement: off-diagonal blocks drop the mask
+behind an exact duplicate scan + lax.cond (bitwise identical for every
+input); the ordered kernels keep it everywhere — each of their blocks can
+contain the self pairs the mask absorbs.
 """
 
 from __future__ import annotations
@@ -107,7 +112,7 @@ def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
 
 
 def _pair_grad_block(pa, ga, pbt, gbt, softening, masses,
-                     mass_grad=False):
+                     mass_grad=False, mask=True):
     """Per-UNORDERED-pair gradient contribution, summed both ways.
 
     With d = p_b - p_a and shared w = s^-3/2, u = s^-5/2, the pair's
@@ -130,9 +135,17 @@ def _pair_grad_block(pa, ga, pbt, gbt, softening, masses,
     inv2 = inv * inv
     w = inv2 * inv
     u = w * inv2
-    zero = d2 == 0.0
-    w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
-    u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
+    if mask:
+        # d2 == 0 pairs here are exactly-coincident DISTINCT bodies (self
+        # pairs never reach this block — the diagonal uses _ordered_block,
+        # always masked). Skippable when a duplicate scan ruled those out:
+        # pads stay safe maskless in BOTH modes (unit-mass FAR pads
+        # underflow w and u against every real body at |d| ~ 1e18;
+        # mass-mode origin pads carry m = 0 AND g = 0, zeroing every term
+        # they touch) — the backward mirror of ops/sym_mxu_force._w_block.
+        zero = d2 == 0.0
+        w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
+        u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
 
     gax, gay, gaz = ga[:, 0:1], ga[:, 1:2], ga[:, 2:3]
     gbx, gby, gbz = gbt[0:1, :], gbt[1:2, :], gbt[2:3, :]
@@ -222,7 +235,8 @@ def _ordered_block(pk, gk, pjt, gjt, softening, unit_mass,
 
 
 def _sym_vjp_tri_kernel(p_ref, g_ref, pt_ref, gt_ref, rows_ref, colsT_ref, *,
-                        softening, tile, nb, masses, mass_grad):
+                        softening, tile, nb, masses, mass_grad,
+                        mask_offdiag=True):
     """Diagonal-band step of the symmetric backward (structure identical to
     symmetric_force._tri_kernel): block (i, (i+d) mod nb) at grid (i, d).
     d == 0 uses the ordered formula (rows cover both orders); d > 0 computes
@@ -258,7 +272,7 @@ def _sym_vjp_tri_kernel(p_ref, g_ref, pt_ref, gt_ref, rows_ref, colsT_ref, *,
     def _band():
         rows, cols = _pair_grad_block(
             p_ref[:], g_ref[:], pt_ref[:], gt_ref[:], softening, masses,
-            mass_grad=mass_grad)
+            mass_grad=mass_grad, mask=mask_offdiag)
         rows_ref[:] = rows_ref[:] + rows
         cj = pl.ds(jg * tile, tile)
         if mass_grad:
@@ -270,7 +284,8 @@ def _sym_vjp_tri_kernel(p_ref, g_ref, pt_ref, gt_ref, rows_ref, colsT_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softening", "tile", "interpret", "mass_grad"),
+    static_argnames=("softening", "tile", "interpret", "mass_grad",
+                     "coincident"),
 )
 def vjp_pos_sym(
     pos,
@@ -281,6 +296,7 @@ def vjp_pos_sym(
                       # 69.6 at 512, 71.4 at 768; 1024 exceeds VMEM)
     interpret: bool = False,
     mass_grad: bool = False,
+    coincident: str = "auto",
 ):
     """pos_bar for cotangent g of the square self-force, each unordered pair
     computed ONCE (the pairwise gradient is antisymmetric — see
@@ -292,13 +308,33 @@ def vjp_pos_sym(
 
     mass_grad=True (mass mode only) also returns mass_bar — the cotangent
     w.r.t. per-body masses (dF_j/dm_k = w d_jk) — for ~2 extra VPU ops and
-    2 reductions per pair: returns (pos_bar, mass_bar)."""
+    2 reductions per pair: returns (pos_bar, mass_bar).
+
+    coincident: off-diagonal d2 == 0 mask policy, as in the forward
+    (ops/sym_mxu_force.body_force_sym_mxu): "auto" duplicate-scans pos and
+    lax.cond-routes to maskless off-diagonal blocks when no two bodies
+    share a position, "masked" always masks, "fast" never does (caller
+    guarantees distinct positions). Diagonal blocks (self pairs) always
+    mask. Unlike the forward hybrid (where w feeds matmuls directly and
+    maskless is bitwise identical), here w and u feed long elementwise
+    chains, and dropping the select changes XLA's fusion/FMA contraction:
+    maskless results agree to a few ulp (measured ~5e-6 relative), not
+    bitwise. Duplicate inputs under "auto" run the fully-masked kernels
+    exactly."""
     from mini_nbody_tpu.utils.config import FAR
 
     if mass_grad and mass is None:
         raise ValueError("mass_grad=True requires per-body masses")
+    if coincident not in ("auto", "masked", "fast"):
+        raise ValueError(
+            f"coincident must be 'auto', 'masked' or 'fast', "
+            f"got {coincident!r}")
     n = pos.shape[0]
     masses = mass is not None
+    if coincident == "auto":
+        from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
+
+        dup = any_coincident(pos)  # scan the REAL bodies, pre-padding
     pos = pos.astype(jnp.float32)
     g = g.astype(jnp.float32)
 
@@ -326,10 +362,12 @@ def vjp_pos_sym(
     vm = pltpu.VMEM
     pairs = np_ * np_
     ko = 4 if mass_grad else 3  # output row width (+ mass-cotangent column)
-    rows, colsT = pl.pallas_call(
+
+    def run(mask_offdiag):
+        return pl.pallas_call(
         functools.partial(_sym_vjp_tri_kernel, softening=float(softening),
                           tile=tile, nb=nb, masses=masses,
-                          mass_grad=mass_grad),
+                          mass_grad=mass_grad, mask_offdiag=mask_offdiag),
         grid=(nb, nd),
         in_specs=[
             pl.BlockSpec((tile, k), lambda i, d: (i, 0), memory_space=vm),
@@ -358,7 +396,13 @@ def vjp_pos_sym(
             transcendentals=pairs // 2,
         ),
         interpret=interpret,
-    )(p, g, pt, gt)
+        )(p, g, pt, gt)
+
+    if coincident == "auto":
+        rows, colsT = jax.lax.cond(
+            dup, lambda: run(True), lambda: run(False))
+    else:
+        rows, colsT = run(coincident == "masked")
     total = rows + colsT.T
     if mass_grad:
         return total[:n, 0:3], total[:n, 3]

@@ -34,7 +34,11 @@ either way). Residual error is the ~4e-3-relative bf16 rounding of w and c
 tests. Use vjp_pos_sym for fp32-exact gradients.
 
 Self/coincident pairs are masked on the pre-softening |d|^2 == 0 exactly as
-in every other backend (the eps^-1.5 self weight otherwise swamps fp32).
+in every other backend (the eps^-1.5 self weight otherwise swamps fp32) —
+with the forward hybrid's coincident='auto' refinement: diagonal blocks
+always mask (self pairs), off-diagonal blocks go maskless behind the same
+O(N log N) duplicate scan + lax.cond, bitwise identical to full masking
+for every input (sym_mxu_force.any_coincident rationale).
 
 Structure: identical diagonal-band traversal, whole-buffer constant-index
 reaction output and tail handling as vjp_pos_sym; single-chunk (the backward
@@ -67,9 +71,16 @@ def _mm(a, b, dims):
     )
 
 
-def _wc_block(pi, pjt, gi, gjt, softening, masses, mass_grad):
+def _wc_block(pi, pjt, gi, gjt, softening, masses, mass_grad, mask=True):
     """Per-pair scalars for one (i-tile, j-tile) block: returns
-    (w, c[, mrow (T,1), mcolT (1,T)]) — everything the matmuls need."""
+    (w, c[, mrow (T,1), mcolT (1,T)]) — everything the matmuls need.
+
+    mask=False drops the d2 == 0 zeroing (~3 of the block's ~30 VPU ops) —
+    valid for off-diagonal blocks when a duplicate scan ruled out
+    exactly-coincident distinct bodies (FAR pads underflow w and u against
+    every real body at |d| ~ 1e18, and pad-vs-pad coincidences only occur
+    inside the final tile's DIAGONAL block, which always masks) — the
+    backward mirror of ops/sym_mxu_force._w_block."""
     dx = pjt[0:1, :] - pi[:, 0:1]
     dy = pjt[1:2, :] - pi[:, 1:2]
     dz = pjt[2:3, :] - pi[:, 2:3]
@@ -79,9 +90,10 @@ def _wc_block(pi, pjt, gi, gjt, softening, masses, mass_grad):
     inv2 = inv * inv
     w = inv2 * inv
     u = w * inv2
-    zero = d2 == 0.0
-    w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
-    u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
+    if mask:
+        zero = d2 == 0.0
+        w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
+        u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
 
     dot_a = gi[:, 0:1] * dx + gi[:, 1:2] * dy + gi[:, 2:3] * dz
     dot_b = gjt[0:1, :] * dx + gjt[1:2, :] * dy + gjt[2:3, :] * dz
@@ -121,12 +133,16 @@ def _col_sums(w, c, qi, mcolT):
 
 def _bwd_tri_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, qi_ref,
                     rows_ref, colsT_ref, *,
-                    softening, tile, nb, masses, mass_grad):
+                    softening, tile, nb, masses, mass_grad,
+                    mask_offdiag=True):
     """Diagonal-band step (structure: vjp_kernel._sym_vjp_tri_kernel).
     d == 0: ordered row sums cover both pair orders (t is antisymmetric, so
     row a's sum over the full tile already includes the reaction of every
-    in-tile partner); d > 0: rows accumulate +t sums, the constant-index
-    reaction buffer accumulates the transposed-contraction sums."""
+    in-tile partner) and always masks d2 == 0 (self pairs); d > 0: rows
+    accumulate +t sums, the constant-index reaction buffer accumulates the
+    transposed-contraction sums, masked only when mask_offdiag (the
+    maskless body is exact unless distinct coincident bodies exist —
+    _wc_block / the forward's _tri_kernel rationale)."""
     i = pl.program_id(0)
     d = pl.program_id(1)
     jg = jax.lax.rem(i + d, jnp.int32(nb))
@@ -137,26 +153,22 @@ def _bwd_tri_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, qi_ref,
 
     active = jnp.logical_or(d * 2 != nb, i * 2 < nb)
 
-    @pl.when(active)
-    def _work():
-        w, c, mrow, mcolT = _wc_block(
+    @pl.when(d == 0)  # always active; self pairs: always masked
+    def _diag():
+        w, c, mrow, _ = _wc_block(
             pi_ref[:], pjt_ref[:], gi_ref[:], gjt_ref[:], softening,
             masses, mass_grad)
-        rows = _row_sums(w, c, qj_ref[:], mrow)
+        rows_ref[:] = _row_sums(w, c, qj_ref[:], mrow)
 
-        @pl.when(d == 0)
-        def _rows_init():
-            rows_ref[:] = rows
-
-        @pl.when(d > 0)
-        def _rows_acc():
-            rows_ref[:] = rows_ref[:] + rows
-
-        @pl.when(d > 0)
-        def _cols():
-            ct = _col_sums(w, c, qi_ref[:], mcolT)
-            cj = pl.ds(jg * tile, tile)
-            colsT_ref[:, cj] = colsT_ref[:, cj] + ct
+    @pl.when(jnp.logical_and(active, d > 0))
+    def _off():
+        w, c, mrow, mcolT = _wc_block(
+            pi_ref[:], pjt_ref[:], gi_ref[:], gjt_ref[:], softening,
+            masses, mass_grad, mask=mask_offdiag)
+        rows_ref[:] = rows_ref[:] + _row_sums(w, c, qj_ref[:], mrow)
+        ct = _col_sums(w, c, qi_ref[:], mcolT)
+        cj = pl.ds(jg * tile, tile)
+        colsT_ref[:, cj] = colsT_ref[:, cj] + ct
 
 
 def _bwd_rect_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, rows_ref, *,
@@ -198,7 +210,8 @@ def _blockdiag_q(a_g, a_p, nblk, tile):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softening", "tile", "interpret", "mass_grad"),
+    static_argnames=("softening", "tile", "interpret", "mass_grad",
+                     "coincident"),
 )
 def vjp_pos_sym_mxu(
     pos,
@@ -208,6 +221,7 @@ def vjp_pos_sym_mxu(
     tile: int = 512,
     interpret: bool = False,
     mass_grad: bool = False,
+    coincident: str = "auto",
 ):
     """pos_bar for cotangent g of the square self-force via the MXU hybrid
     backward (module docstring): each unordered pair's w, c computed ONCE on
@@ -216,11 +230,25 @@ def vjp_pos_sym_mxu(
     per pair, uniform); use vjp_pos_sym for fp32-exact.
 
     mass_grad=True (mass mode) also returns mass_bar: (pos_bar, mass_bar).
+
+    coincident: off-diagonal d2 == 0 mask policy, exactly as in
+    vjp_kernel.vjp_pos_sym and the forward hybrid — "auto" (default)
+    duplicate-scans pos and routes to maskless off-diagonal blocks when
+    safe (bitwise identical to "masked" for every input), "masked" always
+    masks, "fast" never does. Diagonal blocks (self pairs) always mask.
     """
     if mass_grad and mass is None:
         raise ValueError("mass_grad=True requires per-body masses")
+    if coincident not in ("auto", "masked", "fast"):
+        raise ValueError(
+            f"coincident must be 'auto', 'masked' or 'fast', "
+            f"got {coincident!r}")
     n = pos.shape[0]
     masses = mass is not None
+    if coincident == "auto":
+        from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
+
+        dup = any_coincident(pos)  # scan the REAL bodies, pre-padding
     pos = pos.astype(jnp.float32)
     g = g.astype(jnp.float32)
 
@@ -265,10 +293,11 @@ def vjp_pos_sym_mxu(
     def bjt(i, d):
         return (0, jax.lax.rem(i + d, jnp.int32(nb)))
 
-    rows, colsT = pl.pallas_call(
+    def run(mask_offdiag):
+        return pl.pallas_call(
         functools.partial(_bwd_tri_kernel, softening=float(softening),
                           tile=tile, nb=nb, masses=masses,
-                          mass_grad=mass_grad),
+                          mass_grad=mass_grad, mask_offdiag=mask_offdiag),
         grid=(nb, nd),
         in_specs=[
             pl.BlockSpec((tile, k), bi, memory_space=vm),
@@ -295,8 +324,13 @@ def vjp_pos_sym_mxu(
             transcendentals=pairs // 2,
         ),
         interpret=interpret,
-    )(p, p.T, g, g.T, q, q)
+        )(p, p.T, g, g.T, q, q)
 
+    if coincident == "auto":
+        rows, colsT = jax.lax.cond(
+            dup, lambda: run(True), lambda: run(False))
+    else:
+        rows, colsT = run(coincident == "masked")
     total = rows + colsT.T
     sg = total[:, 0:4]
     sp = total[:, 4:8]

@@ -357,3 +357,74 @@ def test_backward_routing_respects_precision_class():
     assert not SimConfig(n=64, backend="pallas").bf16_class()
     assert SimConfig(n=64, backend="mxu", pair_dtype="bfloat16").bf16_class()
     assert SimConfig(n=64, backend="sym_mxu").bf16_class()
+
+
+class TestSymBackwardCoincident:
+    """vjp_pos_sym coincident routing: 'auto'/'fast' vs 'masked' on
+    duplicate-free inputs agree to a few ulp (dropping the select changes
+    XLA's FMA contraction in this kernel's elementwise chains — docstring;
+    NOT bitwise like the matmul-fed forward), duplicates route to the
+    masked kernels exactly, and cfg threads through
+    make_differentiable_force."""
+
+    # few-ulp FMA-contraction window (measured max ~5e-6 relative)
+    RTOL = 3e-5
+    ATOL_SCALE = 3e-5
+
+    def _close(self, a, b):
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=self.RTOL,
+                                   atol=self.ATOL_SCALE * scale)
+
+    def _run(self, mode, pos, g, m=None, mass_grad=False):
+        from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_sym
+
+        interp = jax.default_backend() != "tpu"
+        out = vjp_pos_sym(pos, g, m, softening=1e-9, tile=64,
+                          interpret=interp, mass_grad=mass_grad,
+                          coincident=mode)
+        return ([np.asarray(o) for o in out] if mass_grad
+                else [np.asarray(out)])
+
+    def test_unit_and_mass_grad_equivalence(self):
+        s = init.plummer(jax.random.key(31), 300)
+        g = jax.random.normal(jax.random.key(32), (300, 3), jnp.float32)
+        ref_u = self._run("masked", s.pos, g)
+        ref_m = self._run("masked", s.pos, g, s.mass, mass_grad=True)
+        for mode in ("auto", "fast"):
+            for a, b in zip(self._run(mode, s.pos, g), ref_u):
+                self._close(a, b)
+            for a, b in zip(self._run(mode, s.pos, g, s.mass,
+                                      mass_grad=True), ref_m):
+                self._close(a, b)
+
+    def test_duplicates_route_to_masked(self):
+        # 'auto' on a duplicate input runs the fully-masked kernels — the
+        # result must be EXACTLY the 'masked' one (same kernel, same input).
+        s = init.uniform_random(jax.random.key(33), 300)
+        dup = s.pos.at[200].set(s.pos[3])  # cross-tile duplicate (tile=64)
+        g = jax.random.normal(jax.random.key(34), (300, 3), jnp.float32)
+        ref = self._run("masked", dup, g)
+        got = self._run("auto", dup, g)
+        np.testing.assert_array_equal(got[0], ref[0])
+        assert np.isfinite(got[0]).all()
+
+    def test_cfg_threads_coincident_to_backward(self):
+        # grad through the differentiable force with coincident='fast'
+        # must match the 'masked' grad (few-ulp window) on duplicate-free
+        # input (the sym backward is the only coincident-aware piece here;
+        # the fp32 sym forward computes w*d directly and needs no mask).
+        from mini_nbody_tpu import SimConfig
+        from mini_nbody_tpu.ops.autodiff import make_differentiable_force
+
+        n = 192
+        s = init.uniform_random(jax.random.key(35), n)
+
+        grads = {}
+        for mode in ("fast", "masked"):
+            cfg = SimConfig(n=n, backend="sym", sym_tile=64,
+                            interpret=True, coincident=mode)
+            force = make_differentiable_force(cfg)
+            grads[mode] = np.asarray(jax.grad(
+                lambda p: jnp.sum(force(p) ** 2))(s.pos))
+        self._close(grads["fast"], grads["masked"])

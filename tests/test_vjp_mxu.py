@@ -149,3 +149,49 @@ def test_large_n_mxu_backward_routes_rect_self(monkeypatch):
     scale = max(np.abs(np.asarray(ref)).max(), 1.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=RTOL, atol=ATOL_SCALE * scale)
+
+
+class TestCoincidentRouting:
+    """coincident='auto'/'fast' must be BITWISE equal to 'masked' on
+    duplicate-free inputs (multi-band tiling: diagonal, off-diagonal and
+    tail-pad paths all exercised), and 'auto' must route duplicate inputs
+    back through the masked kernels (again bitwise)."""
+
+    def _run(self, mode, pos, g, m=None, mass_grad=False):
+        out = vjp_pos_sym_mxu(pos, g, m, softening=1e-9, tile=64,
+                              interpret=INTERP, mass_grad=mass_grad,
+                              coincident=mode)
+        return ([np.asarray(o) for o in out] if mass_grad
+                else [np.asarray(out)])
+
+    def test_unit_mass_bitwise(self):
+        s = init.uniform_random(jax.random.key(21), 300)
+        g = jax.random.normal(jax.random.key(22), (300, 3), jnp.float32)
+        ref = self._run("masked", s.pos, g)
+        for mode in ("auto", "fast"):
+            for a, b in zip(self._run(mode, s.pos, g), ref):
+                np.testing.assert_array_equal(a, b)
+
+    def test_mass_grad_bitwise(self):
+        s = init.plummer(jax.random.key(23), 300)
+        g = jax.random.normal(jax.random.key(24), (300, 3), jnp.float32)
+        ref = self._run("masked", s.pos, g, s.mass, mass_grad=True)
+        for mode in ("auto", "fast"):
+            for a, b in zip(self._run(mode, s.pos, g, s.mass,
+                                      mass_grad=True), ref):
+                np.testing.assert_array_equal(a, b)
+
+    def test_duplicates_route_to_masked(self):
+        s = init.uniform_random(jax.random.key(25), 300)
+        dup = s.pos.at[200].set(s.pos[3])  # cross-tile duplicate (tile=64)
+        g = jax.random.normal(jax.random.key(26), (300, 3), jnp.float32)
+        ref = self._run("masked", dup, g)
+        got = self._run("auto", dup, g)
+        np.testing.assert_array_equal(got[0], ref[0])
+        assert np.isfinite(got[0]).all()
+
+    def test_validation(self):
+        pos = init.uniform_random(jax.random.key(27), 64).pos
+        with pytest.raises(ValueError, match="coincident"):
+            vjp_pos_sym_mxu(pos, jnp.zeros_like(pos), interpret=INTERP,
+                            coincident="never")
