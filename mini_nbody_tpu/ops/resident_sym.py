@@ -188,7 +188,7 @@ def _pad8(rows3):
 
 
 def _force_block(st_ref, rows_ref, cols_ref, pw_ref, i, d,
-                 *, nb, softening, masses, mxu, fast):
+                 *, nb, softening, masses, mxu, fast, mask=True):
     jg = jax.lax.rem(i + d, jnp.int32(nb))
     bj = _blk(st_ref, jg)  # (8, T)
 
@@ -203,9 +203,15 @@ def _force_block(st_ref, rows_ref, cols_ref, pw_ref, i, d,
     else:
         inv = jax.lax.rsqrt(r2)
         w = (inv * inv) * inv
-    # Self/coincident pairs (and FAR-vs-FAR pad pairs): mask on the
-    # pre-softening distance, exactly like ops/sym_mxu_force._w_block.
-    w = jnp.where(d2 == 0.0, jnp.asarray(0.0, w.dtype), w)
+    if mask:
+        # Self/coincident pairs (and FAR-vs-FAR pad pairs): mask on the
+        # pre-softening distance, exactly like ops/sym_mxu_force._w_block.
+        # mask=False is used only for OFF-diagonal bands under
+        # coincident='fast' (simulate_resident_sym): pads are still safe
+        # there (pads live in the final tile only, so pad-vs-pad pairs hit
+        # the always-masked diagonal band; real-vs-pad pairs at |d| ~ FAR
+        # give w = 0 exactly via r2^3 overflow (fast) or underflow).
+        w = jnp.where(d2 == 0.0, jnp.asarray(0.0, w.dtype), w)
 
     ri = pl.ds(i * 8, 8)
     rj = pl.ds(jg * 8, 8)
@@ -263,7 +269,8 @@ def _integrate_block(st_ref, rows_ref, cols_ref, b, *, dt, mxu):
 
 
 def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
-            tile, nb, nd, dt, softening, masses, mxu, fast):
+            tile, nb, nd, dt, softening, masses, mxu, fast,
+            mask_offdiag=True):
     del in_ref  # aliased to st_ref: the initial state IS the buffer
     s = pl.program_id(0)
     i = pl.program_id(1)
@@ -291,11 +298,28 @@ def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
     force_on = jnp.logical_and(
         is_force, jnp.logical_or(d * 2 != nb, i * 2 < nb))
 
-    @pl.when(force_on)
-    def _force():
-        _force_block(st_ref, rows_ref, cols_ref, pw_ref,
-                     i, d, nb=nb, softening=softening,
-                     masses=masses, mxu=mxu, fast=fast)
+    if mask_offdiag:
+        @pl.when(force_on)
+        def _force():
+            _force_block(st_ref, rows_ref, cols_ref, pw_ref,
+                         i, d, nb=nb, softening=softening,
+                         masses=masses, mxu=mxu, fast=fast)
+    else:
+        # coincident='fast': the d == 0 band (self pairs) keeps the mask,
+        # off-diagonal bands run the ~2-op-cheaper maskless body
+        # (_force_block's pad rationale; caller guarantees no two distinct
+        # bodies ever coincide during the trajectory).
+        @pl.when(jnp.logical_and(is_force, d == 0))
+        def _force_diag():
+            _force_block(st_ref, rows_ref, cols_ref, pw_ref,
+                         i, d, nb=nb, softening=softening,
+                         masses=masses, mxu=mxu, fast=fast)
+
+        @pl.when(jnp.logical_and(force_on, d > 0))
+        def _force_off():
+            _force_block(st_ref, rows_ref, cols_ref, pw_ref,
+                         i, d, nb=nb, softening=softening,
+                         masses=masses, mxu=mxu, fast=fast, mask=False)
 
     blk = (i - nb) * nd + d
 
@@ -306,7 +330,8 @@ def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "dt", "softening", "mxu", "tile", "interpret"),
+    static_argnames=("steps", "dt", "softening", "mxu", "tile", "interpret",
+                     "coincident"),
 )
 def simulate_resident_sym(
     pos,
@@ -319,6 +344,7 @@ def simulate_resident_sym(
     mxu: bool = False,
     tile: int | None = None,
     interpret: bool = False,
+    coincident: str = "auto",
 ):
     """Run `steps` Euler steps entirely inside one kernel launch (module
     docstring); returns (pos, vel) after the final step.
@@ -328,7 +354,17 @@ def simulate_resident_sym(
     compensated operand split (the class of 'sym_mxu'). mass=None runs unit
     masses; in mxu mode masses are free (folded into the matmul operand).
     N is bounded by RESIDENT_SYM_MAX_N (VMEM).
-    """
+
+    coincident: unlike the single-pass kernels, the fused trajectory can
+    form an exact duplicate at ANY step, which no t=0 scan can rule out —
+    so "auto" here means the always-masked kernels ("masked" ditto), and
+    only "fast" (caller guarantees no two distinct bodies ever coincide
+    during the whole run) drops the off-diagonal d2 == 0 mask (self pairs
+    and pads stay exact — _force_block)."""
+    if coincident not in ("auto", "masked", "fast"):
+        raise ValueError(
+            f"coincident must be 'auto', 'masked' or 'fast', "
+            f"got {coincident!r}")
     n = pos.shape[0]
     if n > RESIDENT_SYM_MAX_N:
         raise ValueError(
@@ -368,7 +404,8 @@ def simulate_resident_sym(
     out = pl.pallas_call(
         functools.partial(_kernel, tile=tile, nb=nb, nd=nd, dt=float(dt),
                           softening=float(softening), masses=masses,
-                          mxu=mxu, fast=fast),
+                          mxu=mxu, fast=fast,
+                          mask_offdiag=coincident != "fast"),
         grid=(steps, nb + n_int, nd),
         in_specs=[pl.BlockSpec((8 * nb, tile), lambda s, i, d: (0, 0),
                                memory_space=vm)],
@@ -407,6 +444,7 @@ def simulate_resident_sym_leapfrog(
     mxu: bool = False,
     tile: int | None = None,
     interpret: bool = False,
+    coincident: str = "auto",
 ):
     """`steps` KDK leapfrog steps on the resident kernel (module docstring:
     merged half-kicks make leapfrog the Euler update on staggered
@@ -416,27 +454,31 @@ def simulate_resident_sym_leapfrog(
     if steps < 1:
         raise ValueError("simulate_resident_sym_leapfrog needs steps >= 1")
     half = 0.5 * dt
-    force = _class_force(mxu, softening, interpret)
+    force = _class_force(mxu, softening, interpret, coincident)
     a0 = force(pos, mass)
     vh = vel + half * a0
     pos = pos + dt * vh
     if steps > 1:
         pos, vh = simulate_resident_sym(
             pos, vh, mass, steps=steps - 1, dt=dt, softening=softening,
-            mxu=mxu, tile=tile, interpret=interpret)
+            mxu=mxu, tile=tile, interpret=interpret, coincident=coincident)
     a_end = force(pos, mass)
     return pos, vh + half * a_end
 
 
-def _class_force(mxu: bool, softening: float, interpret: bool):
+def _class_force(mxu: bool, softening: float, interpret: bool,
+                 coincident: str = "auto"):
     """Streamed force of the SAME precision class for the leapfrog end
-    kicks (sym_mxu for mxu mode, fp32 symmetric otherwise)."""
+    kicks (sym_mxu for mxu mode, fp32 symmetric otherwise). The end kicks
+    are single passes, so coincident='auto' keeps its per-pass duplicate
+    scan here even though the fused kernel treats 'auto' as 'masked'."""
     if mxu:
         from mini_nbody_tpu.ops.sym_mxu_force import body_force_sym_mxu
 
         def force(pos, mass):
             return body_force_sym_mxu(pos, mass, softening=softening,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      coincident=coincident)
     else:
         from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
 

@@ -237,7 +237,8 @@ def _simulate_resident(cfg: SimConfig, state: BodyState, steps: int):
 
     pos, vh = state.pos, state.vel
     if cfg.integrator == "leapfrog":
-        force = _class_force(mxu, float(cfg.softening), interp)
+        force = _class_force(mxu, float(cfg.softening), interp,
+                             cfg.coincident)
         a0 = force(pos, mass)
         vh = vh + (0.5 * dt) * a0
         pos = pos + dt * vh
@@ -249,7 +250,8 @@ def _simulate_resident(cfg: SimConfig, state: BodyState, steps: int):
         k = min(seg, ksteps - done)
         pos, vh = simulate_resident_sym(
             pos, vh, mass, steps=k, dt=dt, softening=float(cfg.softening),
-            mxu=mxu, tile=tile, interpret=interp)
+            mxu=mxu, tile=tile, interpret=interp,
+            coincident=cfg.coincident)
         done += k
         if done < ksteps:
             _sync(pos)

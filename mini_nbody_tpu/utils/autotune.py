@@ -79,11 +79,14 @@ def _key(cfg: SimConfig) -> str:
 
     device = jax.devices()[0].device_kind.replace(" ", "_")
     # pair_dtype/split_w change the kernel's compute balance (mxu-bf16 vs
-    # mxu-fp32 optima differ by a 2x rate class), so they key the cache.
+    # mxu-fp32 optima differ by a 2x rate class), so they key the cache;
+    # coincident routing changes the VPU body by ~2 ops/pair (12.8%
+    # measured), enough to move tile optima, so it keys too.
     return "|".join([
         device, cfg.effective_backend(),
         "mass" if cfg.use_masses else "unit", str(_bucket(cfg.n)),
         cfg.pair_dtype, "wsplit" if cfg.split_w else "w1",
+        cfg.coincident,
     ])
 
 

@@ -109,6 +109,11 @@ class SimConfig:
         d2 == 0 mask everywhere. "fast": maskless unconditionally (caller
         guarantees distinct positions). Self pairs are always exact;
         other backends need no flag (ops/sym_mxu_force.py docstring).
+        Also routes the symmetric backward kernels (vjp_pos_sym /
+        vjp_pos_sym_mxu — the fp32 one agrees to a few ulp rather than
+        bitwise, see its docstring) and the resident kernel, where "auto"
+        stays masked (a fused trajectory can form duplicates at any step;
+        only "fast" unlocks maskless bands there).
       resident: whole-trajectory resident kernel (ops/resident_sym.py:
         every step fused into ONE Pallas launch, state in VMEM, leapfrog
         via half-kick staggering). None = auto: simulate() routes

@@ -185,3 +185,49 @@ def test_leapfrog_energy_drift():
     out = simulate(cfg, s)
     e1 = float(diag.total_energy(out, cfg.softening))
     assert abs(e1 - e0) / abs(e0) < 1e-3
+
+
+class TestCoincidentFast:
+    """coincident='fast' drops the off-diagonal mask (diagonal self pairs
+    and FAR pads stay exact); on duplicate-free inputs the trajectory must
+    match 'masked' to a few ulp per step (dropping the select can change
+    XLA FMA contraction, as in vjp_pos_sym). 'auto' is identical to
+    'masked' here — the fused trajectory can form duplicates mid-run, so
+    no t=0 scan applies (simulate_resident_sym docstring)."""
+
+    def _run(self, mode, mxu, masses=False, leapfrog=False, n=200,
+             steps=5):
+        make = init.plummer if masses else init.uniform_random
+        s = make(jax.random.key(41), n)
+        fn = (simulate_resident_sym_leapfrog if leapfrog
+              else simulate_resident_sym)
+        p, v = fn(s.pos, s.vel, s.mass if masses else None, steps=steps,
+                  dt=1e-3, softening=1e-9, mxu=mxu, tile=64,
+                  interpret=INTERP, coincident=mode)
+        return np.asarray(p), np.asarray(v)
+
+    @pytest.mark.parametrize("mxu", [False, True])
+    @pytest.mark.parametrize("masses", [False, True])
+    def test_matches_masked(self, mxu, masses):
+        pm, vm = self._run("masked", mxu, masses)
+        pa, va = self._run("auto", mxu, masses)
+        np.testing.assert_array_equal(pa, pm)  # auto == masked exactly
+        np.testing.assert_array_equal(va, vm)
+        pf, vf = self._run("fast", mxu, masses)
+        # few-ulp FMA-contraction window, compounded over 5 steps
+        for a, b in ((pf, pm), (vf, vm)):
+            scale = max(np.abs(b).max(), 1.0)
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * scale)
+
+    def test_leapfrog_threads(self):
+        pm, vm = self._run("masked", True, leapfrog=True)
+        pf, vf = self._run("fast", True, leapfrog=True)
+        for a, b in ((pf, pm), (vf, vm)):
+            scale = max(np.abs(b).max(), 1.0)
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * scale)
+
+    def test_validation(self):
+        s = init.uniform_random(jax.random.key(42), 64)
+        with pytest.raises(ValueError, match="coincident"):
+            simulate_resident_sym(s.pos, s.vel, steps=1, dt=1e-3,
+                                  interpret=INTERP, coincident="no")
