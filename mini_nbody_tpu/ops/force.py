@@ -32,9 +32,10 @@ def body_force(
 
     All backends handle self/coincident pairs exactly (zero contribution) by
     construction, so rectangular and sharded calls need no extra flags;
-    `coincident` only selects HOW sym_mxu pays for that guarantee
-    (SimConfig.coincident / ops/sym_mxu_force.py docstring) and is ignored
-    by every other backend.
+    `coincident` only selects HOW the MXU-family backends pay for that
+    guarantee (SimConfig.coincident / ops/sym_mxu_force.py docstring):
+    sym_mxu routes it always, mxu on square calls only (rectangular mxu
+    always masks — body_force_mxu docstring), jnp/pallas/sym ignore it.
     """
     if backend == "jnp":
         # Bound the (Ni, Nj) intermediate for big problems.
@@ -57,6 +58,7 @@ def body_force(
             pos_i, pos_j, mass_j,
             softening=softening, tile_i=tile_i, tile_j=tile_j,
             interpret=interpret, pair_dtype=pair_dtype,
+            coincident=coincident,
         )
     if backend in ("sym", "sym_mxu"):
         if pos_i is not pos_j:

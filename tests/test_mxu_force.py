@@ -9,6 +9,7 @@ ops/mxu_force.py and exercised by the /verify drive.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mini_nbody_tpu.models import init
 from mini_nbody_tpu.ops.mxu_force import body_force_mxu
@@ -72,3 +73,51 @@ def test_bf16_accumulate_envelope():
     ref = np.asarray(body_force_jnp(s.pos, s.pos, softening=1e-3))
     per_body = np.abs(f - ref).max(axis=1) / (np.abs(ref).max(axis=1) + 1e-6)
     assert np.median(per_body) < 1e-2
+
+
+class TestCoincidentRouting:
+    """Square-call coincident routing (overlap-masked blocks): 'auto' and
+    'fast' must be BITWISE equal to 'masked' on duplicate-free inputs
+    (w feeds the matmul directly, like the sym_mxu forward); 'auto' must
+    route duplicates back to the all-masked kernel; rectangular calls
+    ignore the flag (pos_i can be embedded in pos_j — self pairs at a
+    caller-only-known offset)."""
+
+    KW = dict(softening=1e-9, tile_i=64, tile_j=128, interpret=INTERP)
+
+    def test_square_bitwise(self):
+        s = init.uniform_random(jax.random.key(51), 300)
+        ref = np.asarray(body_force_mxu(s.pos, s.pos, s.mass,
+                                        coincident="masked", **self.KW))
+        for mode in ("auto", "fast"):
+            got = np.asarray(body_force_mxu(s.pos, s.pos, s.mass,
+                                            coincident=mode, **self.KW))
+            np.testing.assert_array_equal(got, ref)
+
+    def test_square_duplicates_route_to_masked(self):
+        s = init.uniform_random(jax.random.key(52), 300)
+        dup = s.pos.at[200].set(s.pos[3])  # crosses both tile sizes
+        ref = np.asarray(body_force_mxu(dup, dup, coincident="masked",
+                                        **self.KW))
+        got = np.asarray(body_force_mxu(dup, dup, coincident="auto",
+                                        **self.KW))
+        np.testing.assert_array_equal(got, ref)
+        assert np.isfinite(got).all()
+
+    def test_rect_embedded_ignores_fast(self):
+        # pos_i is a slice (distinct object) embedded in pos_j: the self
+        # pairs sit mid-array, so the rect path must mask even under
+        # 'fast' — the result must equal the masked one exactly.
+        s = init.uniform_random(jax.random.key(53), 300)
+        sub = s.pos[:200]
+        ref = np.asarray(body_force_mxu(sub, s.pos, coincident="masked",
+                                        **self.KW))
+        got = np.asarray(body_force_mxu(sub, s.pos, coincident="fast",
+                                        **self.KW))
+        np.testing.assert_array_equal(got, ref)
+        assert np.isfinite(got).all()
+
+    def test_validation(self):
+        s = init.uniform_random(jax.random.key(54), 64)
+        with pytest.raises(ValueError, match="coincident"):
+            body_force_mxu(s.pos, s.pos, coincident="no", interpret=INTERP)
