@@ -59,7 +59,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
+from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up, check_coincident
 
 from mini_nbody_tpu.ops.pallas_compat import (
     CompilerParams as _CompilerParams,
@@ -179,10 +179,7 @@ def body_force_mxu(
     boundary (inside it the same array arrives as two distinct tracers) —
     same contract as ops/force.body_force's sym dispatch.
     """
-    if coincident not in ("auto", "masked", "fast"):
-        raise ValueError(
-            f"coincident must be 'auto', 'masked' or 'fast', "
-            f"got {coincident!r}")
+    check_coincident(coincident)
     return _body_force_mxu_impl(
         pos_i, pos_j, mass_j, softening=softening, tile_i=tile_i,
         tile_j=tile_j, interpret=interpret, pair_dtype=pair_dtype,

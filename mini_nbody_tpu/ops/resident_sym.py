@@ -88,7 +88,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
+from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up, check_coincident
 
 from mini_nbody_tpu.ops.pallas_compat import (
     CompilerParams as _CompilerParams,
@@ -361,10 +361,7 @@ def simulate_resident_sym(
     only "fast" (caller guarantees no two distinct bodies ever coincide
     during the whole run) drops the off-diagonal d2 == 0 mask (self pairs
     and pads stay exact — _force_block)."""
-    if coincident not in ("auto", "masked", "fast"):
-        raise ValueError(
-            f"coincident must be 'auto', 'masked' or 'fast', "
-            f"got {coincident!r}")
+    check_coincident(coincident)
     n = pos.shape[0]
     if n > RESIDENT_SYM_MAX_N:
         raise ValueError(

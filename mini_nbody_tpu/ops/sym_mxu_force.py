@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up
+from mini_nbody_tpu.utils.config import FAR, SOFTENING, round_up, check_coincident
 
 from mini_nbody_tpu.ops.pallas_compat import (
     CompilerParams as _CompilerParams,
@@ -103,17 +103,38 @@ def _w_block(pi, pjt, softening, fast, mask=True):
 
 
 def any_coincident(pos):
-    """True iff two rows of pos (N,3) are exactly equal as fp32 values.
+    """True iff pos (N,3) could contain a hot d2 == 0 pair between
+    DISTINCT bodies. Drives coincident='auto' — the maskless kernels are
+    bitwise-identical to the masked ones whenever this is False, because
+    the d2 == 0 mask then only ever fires on diagonal-block self pairs
+    (always masked) and pad pairs (outputs discarded; see _w_block).
 
-    O(N log N): lexsort the (canonicalized, so -0.0 == +0.0 sorts
-    together) coordinates and compare neighbors. Drives coincident='auto'
-    — the maskless kernels are bitwise-identical to the masked ones
-    whenever this is False, because the d2 == 0 mask then only ever
-    fires on diagonal-block self pairs (always masked) and pad pairs
-    (outputs discarded; see _w_block)."""
+    Three conservative O(N)/O(N log N) conditions (any flags -> the
+    always-correct masked kernels run, so false positives only cost the
+    12.8% mask):
+
+    * exact duplicate rows — lexsort the (canonicalized, so -0.0 == +0.0
+      sorts together) coordinates, compare neighbors;
+    * any coordinate with 0 < |c| < 2^-48 — d2 == 0 between NON-equal
+      rows needs a per-coordinate diff below 2^-74.5 (its square
+      underflows to exactly 0), which two distinct fp32 values of
+      magnitude >= 2^-48 cannot produce (their spacing is >= 2^-72, and
+      (2^-72)^2 = 2^-144 is a nonzero subnormal), so one of the pair
+      must itself be tiny. The flagged band (0, 3.6e-15) costs only the
+      12.8% mask for the rare step where a body crosses that close to a
+      coordinate plane;
+    * any |c| >= FAR — a real body at the exact FAR pad sentinel would
+      coincide with the pad tail, whose operand rows are NOT zero in
+      unit-mass mode (_pack pads v = [FAR..FAR | 1])."""
+    from mini_nbody_tpu.utils.config import FAR
+
     p = pos.astype(jnp.float32) + 0.0  # -0.0 -> +0.0
     q = p[jnp.lexsort((p[:, 2], p[:, 1], p[:, 0]))]
-    return jnp.any(jnp.all(q[1:] == q[:-1], axis=1))
+    dup = jnp.any(jnp.all(q[1:] == q[:-1], axis=1))
+    a = jnp.abs(p)
+    tiny = jnp.any(jnp.logical_and(a > 0.0, a < 2.0 ** -48))
+    far = jnp.any(a >= FAR)
+    return dup | tiny | far
 
 
 def _mm(a, b, dims):
@@ -430,10 +451,7 @@ def body_force_sym_mxu(
         (accumulator swamping, module docstring).
     Under vmap the "auto" cond degrades to running both branches.
     """
-    if coincident not in ("auto", "masked", "fast"):
-        raise ValueError(
-            f"coincident must be 'auto', 'masked' or 'fast', "
-            f"got {coincident!r}")
+    check_coincident(coincident)
     n = pos.shape[0]
     tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
     dup = any_coincident(pos) if coincident == "auto" else None
@@ -491,10 +509,7 @@ def body_force_pair_mxu(
     """
     if (mass_a is None) != (mass_b is None):
         raise ValueError("body_force_pair_mxu needs both masses or neither")
-    if coincident not in ("auto", "masked", "fast"):
-        raise ValueError(
-            f"coincident must be 'auto', 'masked' or 'fast', "
-            f"got {coincident!r}")
+    check_coincident(coincident)
     na, nb_n = pos_a.shape[0], pos_b.shape[0]
     t = min(tile, round_up(na, 8), round_up(nb_n, 8))
     if not interpret:
@@ -580,10 +595,7 @@ def body_force_sym_mxu_segmented(
     only one kernel pair is compiled."""
     from mini_nbody_tpu.ops import hostseg
 
-    if coincident not in ("auto", "masked", "fast"):
-        raise ValueError(
-            f"coincident must be 'auto', 'masked' or 'fast', "
-            f"got {coincident!r}")
+    check_coincident(coincident)
     if coincident == "auto":
         import numpy as _np
 

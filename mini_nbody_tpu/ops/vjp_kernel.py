@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mini_nbody_tpu.utils.config import SOFTENING, round_up
+from mini_nbody_tpu.utils.config import SOFTENING, round_up, check_coincident
 
 from mini_nbody_tpu.ops.pallas_compat import (
     CompilerParams as _CompilerParams,
@@ -325,10 +325,7 @@ def vjp_pos_sym(
 
     if mass_grad and mass is None:
         raise ValueError("mass_grad=True requires per-body masses")
-    if coincident not in ("auto", "masked", "fast"):
-        raise ValueError(
-            f"coincident must be 'auto', 'masked' or 'fast', "
-            f"got {coincident!r}")
+    check_coincident(coincident)
     n = pos.shape[0]
     masses = mass is not None
     if coincident == "auto":

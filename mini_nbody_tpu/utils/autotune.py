@@ -121,7 +121,8 @@ def _default_measure(cfg: SimConfig, reps: int) -> float:
                 steps=steps, dt=float(cfg.dt),
                 softening=float(cfg.softening), mxu=mxu,
                 tile=cfg.resident_tile,
-                interpret=cfg.resolve_interpret())
+                interpret=cfg.resolve_interpret(),
+                coincident=cfg.coincident)
             np.asarray(jax.device_get(pos[0, 0]))
             return time.perf_counter() - t0
 
@@ -156,7 +157,7 @@ def _default_measure_bwd(cfg: SimConfig, reps: int) -> float:
 
     def run():
         return vjp(state.pos, g, mass, softening=float(cfg.softening),
-                   interpret=interpret, **kw)
+                   interpret=interpret, coincident=cfg.coincident, **kw)
 
     return time_fn(run, reps=reps)
 

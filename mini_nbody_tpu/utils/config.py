@@ -33,6 +33,19 @@ _INTEGRATORS = ("euler", "leapfrog", "rk4")
 _PAIR_DTYPES = ("float32", "bfloat16")
 
 
+
+COINCIDENT_MODES = ("auto", "masked", "fast")
+
+
+def check_coincident(value: str) -> str:
+    """Validate a coincident-mode flag (shared by SimConfig and every
+    coincident-aware kernel entry point)."""
+    if value not in COINCIDENT_MODES:
+        raise ValueError(
+            f"coincident must be one of {COINCIDENT_MODES}, got {value!r}")
+    return value
+
+
 @dataclasses.dataclass(frozen=True)
 class SimConfig:
     """Static configuration for an N-body simulation.
@@ -165,11 +178,7 @@ class SimConfig:
             raise ValueError(
                 f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"
             )
-        if self.coincident not in ("auto", "masked", "fast"):
-            raise ValueError(
-                "coincident must be 'auto', 'masked' or 'fast', "
-                f"got {self.coincident!r}"
-            )
+        check_coincident(self.coincident)
         # backend 'sym'/'sym_mxu' under a rectangular exchange routes
         # streaming work to the same precision class (sym -> pallas,
         # sym_mxu -> mxu with bf16 pair operands); 'ring' keeps the

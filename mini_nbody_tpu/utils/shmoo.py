@@ -49,7 +49,7 @@ def _time_resident(cfg: SimConfig, state, reps: int) -> float:
             state.pos, state.vel, state.mass if cfg.use_masses else None,
             steps=steps, dt=float(cfg.dt), softening=float(cfg.softening),
             mxu=mxu, tile=cfg.resident_tile,
-            interpret=cfg.resolve_interpret())
+            interpret=cfg.resolve_interpret(), coincident=cfg.coincident)
         np.asarray(jax.device_get(pos[0, 0]))
         return time.perf_counter() - t0
 

@@ -263,6 +263,27 @@ def test_any_coincident():
     assert bool(any_coincident(neg.at[1].set(jnp.array([0.5, 0.0, 0.25]))))
 
 
+def test_any_coincident_conservative_guards():
+    """NON-equal rows can still hit d2 == 0 (per-coordinate diff squares
+    underflow below 2^-74.5) or collide with the FAR pad sentinel; the
+    scan must flag those conservatively (-> masked kernels run)."""
+    from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
+    from mini_nbody_tpu.utils.config import FAR
+
+    pos = init.uniform_random(jax.random.key(1), 64).pos
+    assert not bool(any_coincident(pos))
+    # two DISTINCT bodies whose coordinate diff squares underflow to 0
+    tiny = pos.at[0].set(jnp.array([2.0 ** -60, 0.25, 0.5]))
+    tiny = tiny.at[1].set(jnp.array([2.0 ** -60 + 2.0 ** -80, 0.25, 0.5]))
+    assert bool(any_coincident(tiny))
+    # a real body at the exact FAR pad sentinel would coincide with pads
+    far = pos.at[5].set(jnp.array([FAR, FAR, FAR]))
+    assert bool(any_coincident(far))
+    # exactly-zero coordinates alone must NOT flag (common: origin bodies)
+    zc = pos.at[3].set(jnp.array([0.0, 0.25, 0.5]))
+    assert not bool(any_coincident(zc))
+
+
 def test_coincident_modes_bitwise_identical():
     """coincident='auto'/'fast' must be BITWISE equal to 'masked' on
     duplicate-free inputs (multi-chunk config: exercises tri diag, tri
