@@ -83,12 +83,29 @@ def w_slowcube(pi, pjt, softening, fast, mask=True):
     return jnp.where(d2 == 0.0, jnp.asarray(0.0, w.dtype), w)
 
 
+def w_foldsoft(pi, pjt, softening, fast, mask=True):
+    """Maskless body with softening folded into the square chain (the
+    reference's dzsoft does dz^2+SOFT in ONE FMA — src/dzsoft.vhd:201).
+    d2 is never materialized, so if Mosaic emits FMAs for a*b+c this
+    saves the standalone +soft add (~1 op = ~6%). NOT bitwise-compatible
+    with the shipped family (different association order) — probe only;
+    adopting it would change both masked and maskless bodies together."""
+    xi, yi, zi = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
+    dx = pjt[0:1, :] - xi
+    dy = pjt[1:2, :] - yi
+    dz = pjt[2:3, :] - zi
+    r2 = dx * dx + (dy * dy + (dz * dz
+                               + jnp.asarray(softening, dx.dtype)))
+    return jax.lax.rsqrt((r2 * r2) * r2)
+
+
 VARIANTS = {
     "base": w_base,
     "nomask": w_nomask,
     "mulmask": w_mulmask,
     "d5": w_d5,
     "slowcube": w_slowcube,
+    "foldsoft": w_foldsoft,
 }
 
 
