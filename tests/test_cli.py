@@ -127,3 +127,12 @@ def test_run_trajectory_dump(tmp_path):
               "--save-every", "3"])
         d2 = np.load(path2)
         assert d2["pos_history"].shape == (2, 64, 3)
+
+
+def test_run_coincident_flag(capsys):
+    # --coincident fast end-to-end through run (sym_mxu small-N routes
+    # resident, where 'fast' unlocks the maskless bands).
+    out = _run(capsys, ["run", "--n", "96", "--steps", "2", "--backend",
+                        "sym_mxu", "--coincident", "fast"])
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["n"] == 96 and rep["steps"] == 2
