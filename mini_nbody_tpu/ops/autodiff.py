@@ -130,11 +130,12 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
     (dF_j/dm_k = w d_jk, ~2 extra ops/pair), otherwise the mass cotangent
     is zero (mass treated as a static property).
 
-    coincident routes the SYMMETRIC backward kernels' off-diagonal
-    d2 == 0 mask (vjp_pos_sym / vjp_pos_sym_mxu docstrings; "auto" is
-    bitwise identical to "masked" for every input). The ordered fallbacks
-    (vjp_pos_pallas, rect-called-square, chunked jnp) always mask — their
-    every block contains the self pairs the mask absorbs."""
+    coincident routes the symmetric backward kernels' off-diagonal
+    d2 == 0 mask (vjp_pos_sym / vjp_pos_sym_mxu docstrings) and
+    vjp_pos_pallas's overlap-conditional mask (square call: self pairs
+    only live in range-intersecting blocks). The rect-called-square mxu
+    fallback and chunked jnp always mask (body_force_mxu's rect
+    rationale)."""
     if mass_grad and unit_mass:
         raise ValueError("mass_grad=True requires a mass-mode force "
                          "(unit_mass=False)")
@@ -209,7 +210,8 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
                 kw["tile_j"] = tile_j
             pos_bar = vjp_pos_pallas(
                 pos, g, None if unit_mass else mass,
-                softening=softening, interpret=interpret, **kw,
+                softening=softening, interpret=interpret,
+                coincident=coincident, **kw,
             )
             return pos_bar, jnp.zeros_like(mass)
         # jnp backward (also the mass_grad path beyond the sym kernel's

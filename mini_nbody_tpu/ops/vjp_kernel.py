@@ -42,13 +42,16 @@ from mini_nbody_tpu.ops.pallas_compat import (
 )
 
 
-def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
-                acc_steps, unit_mass):
-    """One (k-tile, j-block) step of the backward pass."""
-    j = pl.program_id(1)
+def _ordered_rows(pk, gk, pjt_ref, gjt_ref, softening, unit_mass, mask):
+    """(T, 3) ordered-pair pos_bar rows for one (k-tile, j-block).
 
-    pk = pk_ref[:]  # (T, 3 or 4): positions (+ mass col in mass mode)
-    gk = gk_ref[:]  # (T, 3)
+    mask=False drops the d2 == 0 zeroing — valid for blocks whose k/j body
+    ranges cannot hold a self pair when a duplicate scan ruled out distinct
+    coincident bodies (pads stay safe: unit-mass FAR pads underflow w/u
+    against real rows, and FAR-vs-FAR pairs only write sliced-off pad
+    rows with exactly-zero cotangents on both sides; mass-mode origin pads
+    carry m = 0 AND g = 0, zeroing every term — vjp_pos_pallas pad
+    docstring)."""
     xk, yk, zk = pk[:, 0:1], pk[:, 1:2], pk[:, 2:3]
     gkx, gky, gkz = gk[:, 0:1], gk[:, 1:2], gk[:, 2:3]
 
@@ -61,11 +64,12 @@ def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
     inv2 = inv * inv
     w = inv2 * inv
     u = w * inv2
-    # Coincident-pair mask (module docstring): the self pair's analytic
-    # cancellation fails in fp32 at small softening.
-    zero = d2 == 0.0
-    w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
-    u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
+    if mask:
+        # Coincident-pair mask (module docstring): the self pair's analytic
+        # cancellation fails in fp32 at small softening.
+        zero = d2 == 0.0
+        w = jnp.where(zero, jnp.asarray(0.0, w.dtype), w)
+        u = jnp.where(zero, jnp.asarray(0.0, u.dtype), u)
 
     gjx = gjt_ref[0:1, :]
     gjy = gjt_ref[1:2, :]
@@ -80,35 +84,67 @@ def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
         ty = jnp.sum(coeff * dy + w * gjy, axis=1, keepdims=True)
         tz = jnp.sum(coeff * dz + w * gjz, axis=1, keepdims=True)
         sw = jnp.sum(w, axis=1, keepdims=True)
-        f = jnp.concatenate(
+        return jnp.concatenate(
             [tx - gkx * sw, ty - gky * sw, tz - gkz * sw], axis=1)
-    else:
-        mj = pjt_ref[3:4, :]  # (1, TJ)
-        mk = pk[:, 3:4]  # (T, 1)
-        # receiver: sum_j m_j (-w g_k + 3 u (g_k.d) d)
-        a = 3.0 * (u * mj * dot_gk_d)
-        smw = jnp.sum(w * mj, axis=1, keepdims=True)
-        rx = jnp.sum(a * dx, axis=1, keepdims=True) - gkx * smw
-        ry = jnp.sum(a * dy, axis=1, keepdims=True) - gky * smw
-        rz = jnp.sum(a * dz, axis=1, keepdims=True) - gkz * smw
-        # source: m_k sum_j (w g_j - 3 u (g_j.d) d)
-        b = 3.0 * (u * dot_gj_d)
-        sx = jnp.sum(w * gjx - b * dx, axis=1, keepdims=True)
-        sy = jnp.sum(w * gjy - b * dy, axis=1, keepdims=True)
-        sz = jnp.sum(w * gjz - b * dz, axis=1, keepdims=True)
-        f = jnp.concatenate(
-            [rx + mk * sx, ry + mk * sy, rz + mk * sz], axis=1)
+    mj = pjt_ref[3:4, :]  # (1, TJ)
+    mk = pk[:, 3:4]  # (T, 1)
+    # receiver: sum_j m_j (-w g_k + 3 u (g_k.d) d)
+    a = 3.0 * (u * mj * dot_gk_d)
+    smw = jnp.sum(w * mj, axis=1, keepdims=True)
+    rx = jnp.sum(a * dx, axis=1, keepdims=True) - gkx * smw
+    ry = jnp.sum(a * dy, axis=1, keepdims=True) - gky * smw
+    rz = jnp.sum(a * dz, axis=1, keepdims=True) - gkz * smw
+    # source: m_k sum_j (w g_j - 3 u (g_j.d) d)
+    b = 3.0 * (u * dot_gj_d)
+    sx = jnp.sum(w * gjx - b * dx, axis=1, keepdims=True)
+    sy = jnp.sum(w * gjy - b * dy, axis=1, keepdims=True)
+    sz = jnp.sum(w * gjz - b * dz, axis=1, keepdims=True)
+    return jnp.concatenate(
+        [rx + mk * sx, ry + mk * sy, rz + mk * sz], axis=1)
 
-    if acc_steps == 1:
-        out_ref[:] = f
-    else:
-        @pl.when(j == 0)
-        def _init():
+
+def _vjp_kernel(pk_ref, gk_ref, pjt_ref, gjt_ref, out_ref, *, softening,
+                acc_steps, unit_mass, mask_mode="all", tile_i=0, tile_j=0):
+    """One (k-tile, j-block) step of the backward pass.
+
+    mask_mode "overlap" (square calls under coincident routing) masks only
+    blocks whose k/j body ranges intersect — the only ones that can hold a
+    self pair (mxu_force._hybrid_kernel rationale)."""
+    j = pl.program_id(1)
+
+    pk = pk_ref[:]  # (T, 3 or 4): positions (+ mass col in mass mode)
+    gk = gk_ref[:]  # (T, 3)
+
+    def store(f):
+        if acc_steps == 1:
             out_ref[:] = f
+        else:
+            @pl.when(j == 0)
+            def _init():
+                out_ref[:] = f
 
-        @pl.when(j > 0)
-        def _acc():
-            out_ref[:] = out_ref[:] + f
+            @pl.when(j > 0)
+            def _acc():
+                out_ref[:] = out_ref[:] + f
+
+    if mask_mode == "all":
+        store(_ordered_rows(pk, gk, pjt_ref, gjt_ref, softening,
+                            unit_mass, mask=True))
+    else:
+        i = pl.program_id(0)
+        lo_i, hi_i = i * tile_i, (i + 1) * tile_i
+        lo_j, hi_j = j * tile_j, (j + 1) * tile_j
+        overlap = jnp.logical_and(lo_i < hi_j, lo_j < hi_i)
+
+        @pl.when(overlap)
+        def _masked():
+            store(_ordered_rows(pk, gk, pjt_ref, gjt_ref, softening,
+                                unit_mass, mask=True))
+
+        @pl.when(jnp.logical_not(overlap))
+        def _maskless():
+            store(_ordered_rows(pk, gk, pjt_ref, gjt_ref, softening,
+                                unit_mass, mask=False))
 
 
 def _pair_grad_block(pa, ga, pbt, gbt, softening, masses,
@@ -502,7 +538,8 @@ def vjp_pos_rect(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softening", "tile_i", "tile_j", "interpret"),
+    static_argnames=("softening", "tile_i", "tile_j", "interpret",
+                     "coincident"),
 )
 def vjp_pos_pallas(
     pos,
@@ -512,6 +549,7 @@ def vjp_pos_pallas(
     tile_i: int = 256,
     tile_j: int = 2048,
     interpret: bool = False,
+    coincident: str = "auto",
 ):
     """pos_bar for cotangent g of F(pos) (square self-force), Pallas kernel.
 
@@ -522,11 +560,24 @@ def vjp_pos_pallas(
     3u (g_k.d) d with nonzero w — so tails must still be inert: we pad with
     zero cotangents AND zero masses in mass mode, and in unit-mass mode rely
     on far-padding (w underflows to 0).
-    """
+
+    coincident: every call is square (self-force), so self pairs only live
+    in blocks whose k/j tile ranges intersect; "auto" duplicate-scans pos
+    and routes off-overlap blocks to the maskless body when safe, "fast"
+    skips the scan, "masked" masks every block. Like vjp_pos_sym (and
+    unlike the matmul-fed hybrids), maskless agrees to a few ulp rather
+    than bitwise — the w/u select changes XLA FMA contraction in the
+    elementwise chains; duplicate inputs under "auto" run the all-masked
+    kernel exactly."""
     from mini_nbody_tpu.utils.config import FAR
 
+    check_coincident(coincident)
     n = pos.shape[0]
     unit_mass = mass is None
+    if coincident == "auto":
+        from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
+
+        dup = any_coincident(pos)  # scan the REAL bodies, pre-padding
     pos = pos.astype(jnp.float32)
     g = g.astype(jnp.float32)
 
@@ -554,33 +605,44 @@ def vjp_pos_pallas(
 
     grid = (np_ // tile_i, np_ // tile_j)
     pairs = np_ * np_
-    out = pl.pallas_call(
-        functools.partial(_vjp_kernel, softening=float(softening),
-                          acc_steps=grid[1], unit_mass=unit_mass),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_i, pk.shape[1]), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pjt.shape[0], tile_j), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, 3), jnp.float32),
-        compiler_params=_CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=35 * pairs,
-            bytes_accessed=(np_ * 12) * 4,
-            transcendentals=pairs,
-        ),
-        interpret=interpret,
-    )(pk, g, pjt, gjt)
+
+    def run(mask_mode):
+        return pl.pallas_call(
+            functools.partial(_vjp_kernel, softening=float(softening),
+                              acc_steps=grid[1], unit_mass=unit_mass,
+                              mask_mode=mask_mode, tile_i=tile_i,
+                              tile_j=tile_j),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_i, pk.shape[1]), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pjt.shape[0], tile_j), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+            compiler_params=_CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=35 * pairs,
+                bytes_accessed=(np_ * 12) * 4,
+                transcendentals=pairs,
+            ),
+            interpret=interpret,
+        )(pk, g, pjt, gjt)
+
+    if coincident == "masked":
+        out = run("all")
+    elif coincident == "fast":
+        out = run("overlap")
+    else:
+        out = jax.lax.cond(dup, lambda: run("all"), lambda: run("overlap"))
     return out[:n]
 
 

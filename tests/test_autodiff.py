@@ -428,3 +428,38 @@ class TestSymBackwardCoincident:
             grads[mode] = np.asarray(jax.grad(
                 lambda p: jnp.sum(force(p) ** 2))(s.pos))
         self._close(grads["fast"], grads["masked"])
+
+
+class TestOrderedBackwardCoincident:
+    """vjp_pos_pallas overlap-conditional masking (square call): few-ulp
+    equivalence on duplicate-free inputs, exact masked routing of
+    duplicates. Tiles chosen so the grid has off-overlap blocks."""
+
+    def _run(self, mode, pos, g, m=None):
+        from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_pallas
+
+        interp = jax.default_backend() != "tpu"
+        return np.asarray(vjp_pos_pallas(
+            pos, g, m, softening=1e-9, tile_i=64, tile_j=128,
+            interpret=interp, coincident=mode))
+
+    def _close(self, a, b):
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5 * scale)
+
+    @pytest.mark.parametrize("masses", [False, True])
+    def test_matches_masked(self, masses):
+        s = init.plummer(jax.random.key(61), 300)
+        g = jax.random.normal(jax.random.key(62), (300, 3), jnp.float32)
+        m = s.mass if masses else None
+        ref = self._run("masked", s.pos, g, m)
+        for mode in ("auto", "fast"):
+            self._close(self._run(mode, s.pos, g, m), ref)
+
+    def test_duplicates_route_to_masked(self):
+        s = init.uniform_random(jax.random.key(63), 300)
+        dup = s.pos.at[200].set(s.pos[3])
+        g = jax.random.normal(jax.random.key(64), (300, 3), jnp.float32)
+        got = self._run("auto", dup, g)
+        np.testing.assert_array_equal(got, self._run("masked", dup, g))
+        assert np.isfinite(got).all()
