@@ -132,10 +132,9 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
 
     coincident routes the symmetric backward kernels' off-diagonal
     d2 == 0 mask (vjp_pos_sym / vjp_pos_sym_mxu docstrings) and
-    vjp_pos_pallas's overlap-conditional mask (square call: self pairs
-    only live in range-intersecting blocks). The rect-called-square mxu
-    fallback and chunked jnp always mask (body_force_mxu's rect
-    rationale)."""
+    the overlap-conditional masks of vjp_pos_pallas and the
+    rect-called-square mxu fallback (square calls: self pairs only live
+    in range-intersecting blocks). Chunked jnp always masks."""
     if mass_grad and unit_mass:
         raise ValueError("mass_grad=True requires a mass-mode force "
                          "(unit_mass=False)")
@@ -176,6 +175,7 @@ def make_body_force_diff(force_impl, softening: float, backward: str = "jnp",
             pos_bar = vjp_rect_mxu(
                 pos, g, pos, g, m, m,
                 softening=softening, interpret=interpret,
+                coincident=coincident,
             )
             return pos_bar, jnp.zeros_like(mass)
         if backward == "pallas" and (not mass_grad

@@ -172,23 +172,48 @@ def _bwd_tri_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, qi_ref,
 
 
 def _bwd_rect_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, rows_ref, *,
-                     softening, masses):
+                     softening, masses, mask_mode="all", tile_k=0, tile_j=0):
     """Rectangular backward step: ONLY the row-side sums for the local
     receivers (the ordered VJP formula factors into exactly the rows half
     of the symmetric backward — see vjp_rect_mxu). j streams via
-    consecutive output-block revisits."""
+    consecutive output-block revisits.
+
+    mask_mode "overlap" (square calls only — vjp_rect_mxu detects array
+    identity): self pairs only live in blocks whose k/j body ranges
+    intersect; FAR-vs-FAR pad pairs sit in the (last k-tile, last j-block)
+    block, which overlaps by construction (equal padded lengths), so pads
+    stay exact too."""
     j = pl.program_id(1)
-    w, c, _, _ = _wc_block(pi_ref[:], pjt_ref[:], gi_ref[:], gjt_ref[:],
-                           softening, masses, mass_grad=False)
-    rows = _row_sums(w, c, qj_ref[:], None)
 
-    @pl.when(j == 0)
-    def _init():
-        rows_ref[:] = rows
+    def store(rows):
+        @pl.when(j == 0)
+        def _init():
+            rows_ref[:] = rows
 
-    @pl.when(j > 0)
-    def _acc():
-        rows_ref[:] = rows_ref[:] + rows
+        @pl.when(j > 0)
+        def _acc():
+            rows_ref[:] = rows_ref[:] + rows
+
+    def rows_for(mask):
+        w, c, _, _ = _wc_block(pi_ref[:], pjt_ref[:], gi_ref[:], gjt_ref[:],
+                               softening, masses, mass_grad=False, mask=mask)
+        return _row_sums(w, c, qj_ref[:], None)
+
+    if mask_mode == "all":
+        store(rows_for(True))
+    else:
+        i = pl.program_id(0)
+        lo_i, hi_i = i * tile_k, (i + 1) * tile_k
+        lo_j, hi_j = j * tile_j, (j + 1) * tile_j
+        overlap = jnp.logical_and(lo_i < hi_j, lo_j < hi_i)
+
+        @pl.when(overlap)
+        def _masked():
+            store(rows_for(True))
+
+        @pl.when(jnp.logical_not(overlap))
+        def _maskless():
+            store(rows_for(False))
 
 
 def _split8(v):
@@ -338,10 +363,6 @@ def vjp_pos_sym_mxu(
     return pos_bar[:n]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("softening", "tile", "interpret"),
-)
 def vjp_rect_mxu(
     pos_k,
     g_k,
@@ -352,6 +373,7 @@ def vjp_rect_mxu(
     softening: float = SOFTENING,
     tile: int = 768,
     interpret: bool = False,
+    coincident: str = "masked",
 ):
     """pos_bar rows for a RECTANGULAR slice of the square self-force VJP via
     the MXU hybrid — the bf16-class counterpart of vjp_kernel.vjp_pos_rect
@@ -371,10 +393,48 @@ def vjp_rect_mxu(
     rectangular grid. pos_k must be a subset of pos_j's system for the
     result to be a true gradient slice (the coincident-pair mask absorbs
     k's own appearance in the sources). Masses optional (both or neither).
+
+    coincident applies to SQUARE calls only (pos_j is the same array
+    object as pos_k — autodiff's rect-called-square branch beyond the
+    symmetric kernels' 131072 bound): self pairs only live in
+    range-intersecting blocks, so off-overlap blocks can run maskless
+    behind the duplicate scan (body_force_mxu's overlap rationale).
+    Rectangular calls always mask — pos_k is embedded in pos_j at a
+    caller-only-known offset under the sharded exchanges.
     """
     if (mass_k is None) != (mass_j is None):
         raise ValueError("vjp_rect_mxu needs both masses or neither")
+    check_coincident(coincident)
+    return _vjp_rect_mxu_impl(
+        pos_k, g_k, pos_j, g_j, mass_k, mass_j, softening=softening,
+        tile=tile, interpret=interpret, coincident=coincident,
+        square=pos_k is pos_j)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret", "coincident",
+                     "square"),
+)
+def _vjp_rect_mxu_impl(
+    pos_k,
+    g_k,
+    pos_j,
+    g_j,
+    mass_k,
+    mass_j,
+    *,
+    softening,
+    tile,
+    interpret,
+    coincident,
+    square,
+):
     nk, nj = pos_k.shape[0], pos_j.shape[0]
+    if coincident == "auto" and square:
+        from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
+
+        dup = any_coincident(pos_k)
     masses = mass_k is not None
     pos_k = pos_k.astype(jnp.float32)
     g_k = g_k.astype(jnp.float32)
@@ -423,31 +483,46 @@ def vjp_rect_mxu(
     grid = (nk_p // tile_k, nj_p // tile_j)
     pairs = nk_p * nj_p
     vm = pltpu.VMEM
-    rows = pl.pallas_call(
-        functools.partial(_bwd_rect_kernel, softening=float(softening),
-                          masses=masses),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_k, k), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((k, tile_j), lambda i, j: (0, j), memory_space=vm),
-            pl.BlockSpec((tile_k, 3), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((3, tile_j), lambda i, j: (0, j), memory_space=vm),
-            pl.BlockSpec((2 * tile_j, 16), lambda i, j: (j, 0),
-                         memory_space=vm),
-        ],
-        out_specs=pl.BlockSpec((tile_k, 8), lambda i, j: (i, 0),
-                               memory_space=vm),
-        out_shape=jax.ShapeDtypeStruct((nk_p, 8), jnp.float32),
-        compiler_params=_CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=(30 + 32) * pairs,
-            bytes_accessed=(nk_p + nj_p) * 80,
-            transcendentals=pairs,
-        ),
-        interpret=interpret,
-    )(pk, pjt, g_k, g_j.T, q)
+
+    def run(mask_mode):
+        return pl.pallas_call(
+            functools.partial(_bwd_rect_kernel, softening=float(softening),
+                              masses=masses, mask_mode=mask_mode,
+                              tile_k=tile_k, tile_j=tile_j),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_k, k), lambda i, j: (i, 0),
+                             memory_space=vm),
+                pl.BlockSpec((k, tile_j), lambda i, j: (0, j),
+                             memory_space=vm),
+                pl.BlockSpec((tile_k, 3), lambda i, j: (i, 0),
+                             memory_space=vm),
+                pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
+                             memory_space=vm),
+                pl.BlockSpec((2 * tile_j, 16), lambda i, j: (j, 0),
+                             memory_space=vm),
+            ],
+            out_specs=pl.BlockSpec((tile_k, 8), lambda i, j: (i, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((nk_p, 8), jnp.float32),
+            compiler_params=_CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=(30 + 32) * pairs,
+                bytes_accessed=(nk_p + nj_p) * 80,
+                transcendentals=pairs,
+            ),
+            interpret=interpret,
+        )(pk, pjt, g_k, g_j.T, q)
+
+    if not square or coincident == "masked":
+        rows = run("all")
+    elif coincident == "fast":
+        rows = run("overlap")
+    else:
+        rows = jax.lax.cond(dup, lambda: run("all"),
+                            lambda: run("overlap"))
 
     sg = rows[:, 0:4]
     sp = rows[:, 4:8]

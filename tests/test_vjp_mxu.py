@@ -195,3 +195,45 @@ class TestCoincidentRouting:
         with pytest.raises(ValueError, match="coincident"):
             vjp_pos_sym_mxu(pos, jnp.zeros_like(pos), interpret=INTERP,
                             coincident="never")
+
+
+class TestRectSquareCoincident:
+    """vjp_rect_mxu called SQUARE (array identity, autodiff's N>bound
+    branch): overlap-masked routing must be bitwise equal to masked on
+    duplicate-free inputs (w/c feed matmuls directly), route duplicates
+    to the all-masked kernel, and ignore the flag on true rect calls."""
+
+    KW = dict(softening=1e-9, tile=64, interpret=INTERP)
+
+    def _sq(self, mode, pos, g):
+        from mini_nbody_tpu.ops.vjp_mxu import vjp_rect_mxu
+
+        return np.asarray(vjp_rect_mxu(pos, g, pos, g, coincident=mode,
+                                       **self.KW))
+
+    def test_square_bitwise(self):
+        s = init.uniform_random(jax.random.key(71), 300)
+        g = jax.random.normal(jax.random.key(72), (300, 3), jnp.float32)
+        ref = self._sq("masked", s.pos, g)
+        for mode in ("auto", "fast"):
+            np.testing.assert_array_equal(self._sq(mode, s.pos, g), ref)
+
+    def test_square_duplicates_route_to_masked(self):
+        s = init.uniform_random(jax.random.key(73), 300)
+        dup = s.pos.at[200].set(s.pos[3])
+        g = jax.random.normal(jax.random.key(74), (300, 3), jnp.float32)
+        got = self._sq("auto", dup, g)
+        np.testing.assert_array_equal(got, self._sq("masked", dup, g))
+        assert np.isfinite(got).all()
+
+    def test_rect_embedded_ignores_fast(self):
+        from mini_nbody_tpu.ops.vjp_mxu import vjp_rect_mxu
+
+        s = init.uniform_random(jax.random.key(75), 300)
+        g = jax.random.normal(jax.random.key(76), (300, 3), jnp.float32)
+        ref = np.asarray(vjp_rect_mxu(s.pos[:200], g[:200], s.pos, g,
+                                      coincident="masked", **self.KW))
+        got = np.asarray(vjp_rect_mxu(s.pos[:200], g[:200], s.pos, g,
+                                      coincident="fast", **self.KW))
+        np.testing.assert_array_equal(got, ref)
+        assert np.isfinite(got).all()
