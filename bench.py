@@ -32,7 +32,8 @@ def main():
     # north star names "fp32 or bf16-pairs/fp32-accumulate" kernels with the
     # energy-drift gate (<=1e-5 @1k steps) as the accuracy criterion;
     # sym_mxu passes the official config-3 gate at 6.3e-8 (RESULTS.md) and
-    # sustains ~414 GInter/s at N=1M vs 343 for the fp32-exact `sym`
+    # sustains ~473 GInter/s at N=1M (coincident='auto' maskless blocks)
+    # vs 343 for the fp32-exact `sym`
     # (set NBODY_BENCH_BACKEND=sym to bench the fp32 headline instead).
     backend = os.environ.get("NBODY_BENCH_BACKEND", "sym_mxu")
 
