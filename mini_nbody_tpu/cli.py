@@ -28,7 +28,7 @@ def _add_common(p):
     p.add_argument("--dt", type=float, default=0.01)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--softening", type=float, default=1e-9)
-    p.add_argument("--integrator", choices=["euler", "leapfrog", "rk4"], default="euler")
+    p.add_argument("--integrator", choices=["euler", "leapfrog", "rk4", "yoshida4"], default="euler")
     p.add_argument("--backend",
                    choices=["auto", "jnp", "pallas", "mxu", "sym", "sym_mxu"],
                    default="auto")

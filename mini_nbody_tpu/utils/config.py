@@ -29,7 +29,7 @@ DT = 0.01
 FAR = 1.0e18
 
 _BACKENDS = ("auto", "jnp", "pallas", "mxu", "sym", "sym_mxu")
-_INTEGRATORS = ("euler", "leapfrog", "rk4")
+_INTEGRATORS = ("euler", "leapfrog", "rk4", "yoshida4")
 _PAIR_DTYPES = ("float32", "bfloat16")
 
 
@@ -57,9 +57,12 @@ class SimConfig:
       steps: number of integration steps per `simulate` call.
       softening: Plummer softening epsilon**2 added to every pair distance^2.
       integrator: "euler" (reference semantics: v += dt*F; x += dt*v),
-        "leapfrog" (KDK, symplectic — the drift-gate integrator), or
+        "leapfrog" (KDK, symplectic — the drift-gate integrator),
         "rk4" (classic 4th-order Runge-Kutta: four force evaluations per
-        step, O(dt^4) accuracy; not symplectic).
+        step, O(dt^4) accuracy; not symplectic), or "yoshida4" (Yoshida
+        composition of three leapfrog substeps: O(dt^4) AND symplectic —
+        three force evaluations per step, the long-horizon high-accuracy
+        choice; ops/integrators.py).
       backend: force-kernel implementation. "auto" picks "pallas" on TPU and
         "jnp" elsewhere. "mxu" = hybrid kernel that routes the O(N^2) force
         accumulation through the matrix unit (see ops/mxu_force.py). "sym" =

@@ -332,3 +332,98 @@ class TestRK4:
 
         with pytest.raises(ValueError, match="resident"):
             SimConfig(n=64, resident=True, integrator="rk4")
+
+
+class TestYoshida4:
+    """4th-order symplectic Yoshida integrator (ops/integrators.py)."""
+
+    def _drift(self, integrator, dt, steps, s, e0):
+        from mini_nbody_tpu import SimConfig, simulate
+        from mini_nbody_tpu.ops import diagnostics as diag
+
+        cfg = SimConfig(n=s.pos.shape[0], dt=dt, steps=steps,
+                        softening=1e-2, backend="jnp", use_masses=True,
+                        integrator=integrator)
+        out = simulate(cfg, s)
+        return abs(float(diag.total_energy(out, 1e-2)) - e0) / abs(e0)
+
+    def test_matches_fp64_numpy_yoshida(self):
+        """One fp32 yoshida4 step vs an fp64 NumPy implementation of the
+        same composition (three KDK substeps scaled by w1, w0, w1) —
+        validates the coefficients exactly (the TestRK4 pattern)."""
+        import numpy as np
+
+        from mini_nbody_tpu.models import init
+        from mini_nbody_tpu.ops.integrators import (
+            _Y4_W0, _Y4_W1, yoshida4_step)
+
+        n, dt, soft = 96, 1e-3, 1e-2
+        s = init.plummer(jax.random.key(7), n)
+        x = np.asarray(s.pos, np.float64)
+        v = np.asarray(s.vel, np.float64)
+        m = np.asarray(s.mass, np.float64)
+
+        def a(x):
+            d = x[None, :, :] - x[:, None, :]
+            r2 = (d * d).sum(-1) + soft
+            return (d * ((r2 ** -1.5) * m[None, :])[:, :, None]).sum(1)
+
+        acc = a(x)
+        for w in (_Y4_W1, _Y4_W0, _Y4_W1):
+            h = w * dt
+            vh = v + 0.5 * h * acc
+            x = x + h * vh
+            acc = a(x)
+            v = vh + 0.5 * h * acc
+
+        def force(pi, pj, mass):
+            from mini_nbody_tpu.ops.reference import body_force_jnp
+
+            return body_force_jnp(pi, pj, mass, softening=soft)
+
+        out, _ = yoshida4_step(s, force(s.pos, s.pos, s.mass), force, dt)
+        np.testing.assert_allclose(np.asarray(out.pos), x, rtol=1e-5,
+                                   atol=1e-6 * np.abs(x).max())
+        np.testing.assert_allclose(np.asarray(out.vel), v, rtol=1e-5,
+                                   atol=1e-6 * np.abs(v).max())
+
+    def test_energy_beats_leapfrog_at_same_dt(self):
+        # dt chosen so truncation error dominates the fp32 noise floor
+        # (measured: leapfrog 2.2e-5 vs yoshida4 4.7e-7 at dt=1e-2/50 steps)
+        from mini_nbody_tpu.models import init
+        from mini_nbody_tpu.ops import diagnostics as diag
+
+        n = 128
+        s = init.plummer(jax.random.key(8), n)
+        e0 = float(diag.total_energy(s, 1e-2))
+        d_y = self._drift("yoshida4", 1e-2, 50, s, e0)
+        d_lf = self._drift("leapfrog", 1e-2, 50, s, e0)
+        assert d_y < d_lf / 10, (d_y, d_lf)
+
+    def test_sharded_matches_single(self):
+        import numpy as np
+
+        from mini_nbody_tpu import SimConfig, simulate
+        from mini_nbody_tpu.models import init
+        from mini_nbody_tpu.parallel import make_mesh
+        from mini_nbody_tpu.parallel.sharded import simulate_sharded
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        n = 160
+        s = init.plummer(jax.random.key(9), n)
+        cfg = SimConfig(n=n, dt=1e-3, steps=3, softening=1e-2,
+                        backend="jnp", use_masses=True,
+                        integrator="yoshida4", comm="ring", mesh_shape=(8,))
+        ref = simulate(cfg.replace(mesh_shape=None, comm="all_gather"), s)
+        out = simulate_sharded(cfg, make_mesh(8), s)
+        scale = np.abs(np.asarray(ref.pos)).max()
+        np.testing.assert_allclose(np.asarray(out.pos),
+                                   np.asarray(ref.pos),
+                                   rtol=1e-4, atol=1e-5 * scale)
+
+    def test_resident_refuses_yoshida4(self):
+        from mini_nbody_tpu import SimConfig
+
+        with pytest.raises(ValueError, match="resident"):
+            SimConfig(n=64, resident=True, integrator="yoshida4")
