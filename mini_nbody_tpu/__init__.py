@@ -22,7 +22,8 @@ from mini_nbody_tpu.utils.config import SimConfig
 from mini_nbody_tpu.models.state import BodyState
 from mini_nbody_tpu.models import init
 from mini_nbody_tpu.ops.force import body_force, make_force_fn
-from mini_nbody_tpu.sim import make_rollout_fn, make_step_fn, simulate
+from mini_nbody_tpu.sim import (make_rollout_fn, make_step_fn, simulate,
+                                simulate_ensemble)
 
 __version__ = "0.1.0"
 
@@ -35,4 +36,5 @@ __all__ = [
     "make_rollout_fn",
     "make_step_fn",
     "simulate",
+    "simulate_ensemble",
 ]

@@ -574,6 +574,88 @@ def _segmented_runners(softening, tile, c, interpret, split_w=False,
     return hostseg.make_runners(tri_body, cross_body)
 
 
+def body_force_sym_mxu_ensemble(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int | None = None,
+    interpret: bool = False,
+    split_w: bool = False,
+    coincident: str = "auto",
+):
+    """Forces for B INDEPENDENT systems in one program: pos (B, N, 3)
+    [, mass (B, N)] -> (B, N, 3), no cross-system interactions.
+
+    Zero new kernels: each system occupies exactly ONE chunk of the
+    symmetric traversal (c = round_up(N, tile), per-system FAR pads), and
+    running only the self-chunk (tri) diagonal-band scan while SKIPPING
+    every cross-chunk pass IS the block-diagonal ensemble force. Each
+    system's result is bitwise identical to a standalone
+    ``body_force_sym_mxu(pos[b], mass[b], tile=tile, chunk=c)`` call
+    (same packing, same kernel, same traversal — tested).
+
+    coincident='auto' scans WITHIN each system only (vmapped
+    any_coincident): two different systems may legitimately hold bodies
+    at identical positions (e.g. perturbation ensembles) without ever
+    producing a hot d2 == 0 pair, since cross-system pairs are never
+    computed.
+
+    The TPU-native ensemble story (parameter sweeps, initial-condition
+    batches): B systems of N bodies run at the big-N streamed rate
+    because the device sees one (B*c)-body program, not B launches.
+    """
+    check_coincident(coincident)
+    if pos.ndim != 3:
+        raise ValueError(f"ensemble pos must be (B, N, 3), got {pos.shape}")
+    return _ensemble_impl(pos, mass, softening=float(softening), tile=tile,
+                          interpret=interpret, split_w=split_w,
+                          coincident=coincident)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret", "split_w",
+                     "coincident"),
+)
+def _ensemble_impl(pos, mass, *, softening, tile, interpret, split_w,
+                   coincident):
+    b, n = pos.shape[0], pos.shape[1]
+    t = tile if tile is not None else 1024
+    t = min(t, round_up(n, 8))
+    if not interpret:
+        t = round_up(t, 128)
+    c = round_up(n, t)
+    if coincident == "auto":
+        dup = jnp.any(jax.vmap(any_coincident)(pos))
+    # Per-system FAR pads: inert exactly as in the single-system kernel
+    # (pad-pad pairs live in the always-masked diagonal blocks of their
+    # own chunk; cross-chunk passes never run here).
+    pos_p = jnp.pad(pos.astype(jnp.float32), ((0, 0), (0, c - n), (0, 0)),
+                    constant_values=FAR).reshape(b * c, 3)
+    m_p = None
+    if mass is not None:
+        m_p = jnp.pad(mass.astype(jnp.float32),
+                      ((0, 0), (0, c - n))).reshape(b * c)
+    flat, pjt, v = _pack(pos_p, m_p, b * c, b * c)
+
+    def run(mask_offdiag):
+        tri_call, _ = _build_calls(softening, t, c, interpret, split_w,
+                                   mask_offdiag)
+        tri_body, _ = _make_scan_bodies(tri_call, None, c)
+        carry = (jnp.zeros((b * c, 8), jnp.float32),
+                 jnp.zeros((8, b * c), jnp.float32), flat, pjt, v)
+        offs = jnp.arange(b, dtype=jnp.int32) * c
+        carry, _ = jax.lax.scan(tri_body, carry, offs)
+        return carry[0], carry[1]
+
+    if coincident == "auto":
+        rows, colsT = jax.lax.cond(
+            dup, lambda: run(True), lambda: run(False))
+    else:
+        rows, colsT = run(coincident == "masked")
+    return _epilogue(flat, rows, colsT.T).reshape(b, c, 3)[:, :n]
+
+
 def body_force_sym_mxu_segmented(
     pos,
     mass=None,

@@ -411,3 +411,84 @@ def _trajectory_hostseg(cfg: SimConfig, state: BodyState, steps: int,
         if k % save_every == 0:
             snaps.append(state.pos)
     return state, jnp.stack(snaps)
+
+
+def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None):
+    """Integrate B INDEPENDENT N-body systems batched on one chip.
+
+    state fields carry a leading batch dim: pos/vel (B, N, 3), mass (B, N).
+    Forces run through ops/sym_mxu_force.body_force_sym_mxu_ensemble (each
+    system is one chunk of the symmetric traversal; no cross-system pairs,
+    no per-system launches — the device sees one (B*c)-body program and
+    small systems run at the big-N streamed rate). Any cfg.integrator
+    works (the integrators are elementwise over the batched state);
+    backend must be the sym_mxu class (the only kernel with the ensemble
+    driver). Watchdog-segmented like simulate.
+
+    The TPU-native answer to parameter sweeps / perturbation ensembles —
+    a workload the reference could only serve one RAM-load at a time
+    (``src/top_level.vhd:180-186``).
+    """
+    from mini_nbody_tpu.ops.sym_mxu_force import body_force_sym_mxu_ensemble
+
+    steps = cfg.steps if steps is None else steps
+    if state.pos.ndim != 3:
+        raise ValueError(
+            f"simulate_ensemble needs batched state (B, N, 3); got pos "
+            f"{state.pos.shape}")
+    if cfg.effective_backend() != "sym_mxu":
+        raise ValueError(
+            "simulate_ensemble runs the sym_mxu ensemble kernel; set "
+            f"backend='sym_mxu' (got {cfg.effective_backend()!r})")
+    b, n = state.pos.shape[0], state.pos.shape[1]
+    if n != cfg.n:
+        raise ValueError(f"cfg.n={cfg.n} != per-system N={n}")
+    interp = cfg.resolve_interpret()
+
+    def force3(pos_i, pos_j, mass_j):
+        return body_force_sym_mxu_ensemble(
+            pos_i, mass_j, softening=cfg.softening,
+            tile=cfg.sym_tile, interpret=interp, split_w=cfg.split_w,
+            coincident=cfg.coincident)
+
+    integ = INTEGRATORS[cfg.integrator]
+    mass3 = state.mass if cfg.use_masses else None
+
+    def acc0(st):
+        if cfg.integrator in ("leapfrog", "yoshida4"):
+            return force3(st.pos, st.pos, mass3)
+        return jnp.zeros_like(st.pos)
+
+    def forcefn(pi, pj, mj):
+        return force3(pi, pj, mass3)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def run_k(st, acc, k):
+        def body(carry, _):
+            s, a = carry
+            s, a = integ(s, a, forcefn, cfg.dt)
+            return (s, a), None
+
+        (st, acc), _ = jax.lax.scan(body, (st, acc), None, length=k)
+        return st, acc
+
+    # Watchdog pacing: B systems x c^2/2-ish pairs per force pass.
+    from mini_nbody_tpu.utils.config import round_up
+
+    t = cfg.sym_tile or 1024
+    c = round_up(n, min(t, round_up(n, 8)) if interp
+                 else round_up(min(t, round_up(n, 8)), 128))
+    evals = {"euler": 1, "leapfrog": 1, "rk4": 4, "yoshida4": 3}
+    per_step = (evals[cfg.integrator] * b * float(c) * c
+                / (_pacing_rate(cfg) * 1e9))
+    seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / max(per_step, 1e-12)))
+
+    st, acc = state, acc0(state)
+    done = 0
+    while done < steps:
+        k = min(seg, steps - done)
+        st, acc = run_k(st, acc, k)
+        done += k
+        if done < steps:
+            _sync(st.pos)
+    return st

@@ -1,0 +1,105 @@
+"""Ensemble simulation: B independent systems batched on one chip
+(ops/sym_mxu_force.body_force_sym_mxu_ensemble + sim.simulate_ensemble).
+
+Each system occupies one chunk of the symmetric traversal with only the
+self-chunk scan running, so every per-system result must be BITWISE equal
+to a standalone single-system call with the same tile and chunk."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_nbody_tpu import SimConfig, simulate, simulate_ensemble
+from mini_nbody_tpu.models import init
+from mini_nbody_tpu.models.state import BodyState
+from mini_nbody_tpu.ops.sym_mxu_force import (
+    body_force_sym_mxu,
+    body_force_sym_mxu_ensemble,
+)
+from mini_nbody_tpu.utils.config import round_up
+
+INTERP = jax.default_backend() != "tpu"
+B, N = 3, 200
+TILE = 64
+C = round_up(N, TILE)
+
+
+def _systems(masses=False, key0=0):
+    make = init.plummer if masses else init.uniform_random
+    ss = [make(jax.random.key(key0 + i), N) for i in range(B)]
+    return ss, BodyState(pos=jnp.stack([s.pos for s in ss]),
+                         vel=jnp.stack([s.vel for s in ss]),
+                         mass=jnp.stack([s.mass for s in ss]))
+
+
+@pytest.mark.parametrize("masses", [False, True])
+def test_force_bitwise_vs_standalone(masses):
+    ss, st = _systems(masses)
+    m = st.mass if masses else None
+    f = np.asarray(body_force_sym_mxu_ensemble(st.pos, m, tile=TILE,
+                                               interpret=INTERP))
+    for i in range(B):
+        ref = body_force_sym_mxu(ss[i].pos, ss[i].mass if masses else None,
+                                 tile=TILE, chunk=C, interpret=INTERP)
+        np.testing.assert_array_equal(f[i], np.asarray(ref))
+
+
+@pytest.mark.parametrize("integrator", ["euler", "leapfrog", "yoshida4"])
+def test_trajectory_bitwise_vs_per_system(integrator):
+    ss, st = _systems(masses=True)
+    cfg = SimConfig(n=N, dt=1e-3, steps=4, backend="sym_mxu", sym_tile=TILE,
+                    use_masses=True, interpret=True, integrator=integrator)
+    out = simulate_ensemble(cfg, st)
+    for i in range(B):
+        ref = simulate(cfg.replace(sym_chunk=C, resident=False), ss[i])
+        np.testing.assert_array_equal(np.asarray(out.pos[i]),
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.vel[i]),
+                                      np.asarray(ref.vel))
+
+
+def test_cross_system_duplicates_stay_maskless():
+    # two identical systems: every body duplicated ACROSS systems, none
+    # within -> the per-system scan must not flag, so 'auto' == 'fast'.
+    s = init.uniform_random(jax.random.key(9), N)
+    pos = jnp.stack([s.pos, s.pos])
+    fa = np.asarray(body_force_sym_mxu_ensemble(pos, tile=TILE,
+                                                interpret=INTERP,
+                                                coincident="auto"))
+    ff = np.asarray(body_force_sym_mxu_ensemble(pos, tile=TILE,
+                                                interpret=INTERP,
+                                                coincident="fast"))
+    np.testing.assert_array_equal(fa, ff)
+    # and both systems see identical forces (same inputs)
+    np.testing.assert_array_equal(fa[0], fa[1])
+
+
+def test_within_system_duplicate_routes_masked():
+    s = init.uniform_random(jax.random.key(10), N)
+    dup = s.pos.at[150].set(s.pos[3])
+    pos = jnp.stack([s.pos, dup])
+    fa = np.asarray(body_force_sym_mxu_ensemble(pos, tile=TILE,
+                                                interpret=INTERP,
+                                                coincident="auto"))
+    fm = np.asarray(body_force_sym_mxu_ensemble(pos, tile=TILE,
+                                                interpret=INTERP,
+                                                coincident="masked"))
+    np.testing.assert_array_equal(fa, fm)
+    assert np.isfinite(fa).all()
+
+
+def test_validation():
+    ss, st = _systems()
+    with pytest.raises(ValueError, match=r"\(B, N, 3\)"):
+        body_force_sym_mxu_ensemble(ss[0].pos, interpret=INTERP)
+    cfg = SimConfig(n=N, backend="sym_mxu", interpret=True)
+    with pytest.raises(ValueError, match="batched"):
+        simulate_ensemble(cfg, ss[0])
+    with pytest.raises(ValueError, match="sym_mxu"):
+        simulate_ensemble(cfg.replace(backend="pallas"), st)
+    with pytest.raises(ValueError, match="cfg.n"):
+        simulate_ensemble(cfg.replace(n=N + 1), st)
+    with pytest.raises(ValueError, match="coincident"):
+        body_force_sym_mxu_ensemble(st.pos, interpret=INTERP,
+                                    coincident="no")
