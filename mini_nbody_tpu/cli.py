@@ -130,6 +130,31 @@ def cmd_run(args):
         state, start_step = _state(args, cfg), 0
 
     t0 = time.perf_counter()
+    if getattr(args, "ensemble", 0):
+        from mini_nbody_tpu.models.state import BodyState
+        from mini_nbody_tpu.sim import simulate_ensemble
+
+        b = args.ensemble
+        import jax.numpy as jnp
+        from mini_nbody_tpu.models import init as minit
+
+        systems = [minit.make(args.init, jax.random.key(args.seed + i),
+                              cfg.n) for i in range(b)]
+        batched = BodyState(
+            pos=jnp.stack([s.pos for s in systems]),
+            vel=jnp.stack([s.vel for s in systems]),
+            mass=jnp.stack([s.mass for s in systems]))
+        out_b = simulate_ensemble(cfg, batched)
+        jax.block_until_ready(out_b.pos)
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "n": cfg.n, "steps": cfg.steps, "ensemble": b,
+            "wall_s": round(wall, 3),
+            "momentum_max_abs": float(
+                np.abs(np.asarray(out_b.vel * out_b.mass[..., None])
+                       .sum(axis=1)).max()),
+        }))
+        return
     if args.trajectory:
         # Stacked position history every --save-every steps (the analog of
         # the reference host reading the force buffer back after each
@@ -392,6 +417,11 @@ def main(argv=None):
     p.add_argument("--save-every", type=int, default=0,
                    help="checkpoint every K steps (with --save), or "
                         "snapshot stride (with --trajectory)")
+    p.add_argument("--ensemble", type=int, default=0, metavar="B",
+                   help="integrate B INDEPENDENT n-body systems batched in "
+                        "one program (sym_mxu backend; each system one "
+                        "chunk of the symmetric traversal - "
+                        "sim.simulate_ensemble)")
     p.add_argument("--trajectory",
                    help="write stacked position snapshots every "
                         "--save-every steps to this npz (works sharded "

@@ -136,3 +136,13 @@ def test_run_coincident_flag(capsys):
                         "sym_mxu", "--coincident", "fast"])
     rep = json.loads(out.strip().splitlines()[-1])
     assert rep["n"] == 96 and rep["steps"] == 2
+
+
+def test_run_ensemble(capsys):
+    out = _run(capsys, ["run", "--n", "96", "--steps", "2", "--backend",
+                        "sym_mxu", "--ensemble", "3", "--init", "plummer"])
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["ensemble"] == 3 and rep["n"] == 96
+    # per-system momentum is conserved by Newton's 3rd law (plummer init
+    # starts near zero total momentum)
+    assert rep["momentum_max_abs"] < 1e-3
