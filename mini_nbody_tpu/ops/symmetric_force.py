@@ -351,6 +351,61 @@ def body_force_symmetric(
     return out[:n]
 
 
+def body_force_symmetric_ensemble(
+    pos,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int | None = None,
+    interpret: bool = False,
+):
+    """fp32-exact forces for B INDEPENDENT systems: pos (B, N, 3)
+    [, mass (B, N)] -> (B, N, 3), no cross-system interactions.
+
+    The fp32 counterpart of sym_mxu_force.body_force_sym_mxu_ensemble:
+    each system is one chunk of the symmetric traversal (per-system FAR
+    pads) and only the self-chunk scan runs — zero new kernels, each
+    system bitwise equal to a standalone ``body_force_symmetric(pos[b],
+    mass[b], tile=tile, chunk=c)`` call. No coincident flag: this kernel
+    computes w*(p_j - p_i) directly, so coincident pairs are exactly zero
+    with no mask to skip."""
+    if pos.ndim != 3:
+        raise ValueError(f"ensemble pos must be (B, N, 3), got {pos.shape}")
+    return _ensemble_impl(pos, mass, softening=float(softening), tile=tile,
+                          interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret"),
+)
+def _ensemble_impl(pos, mass, *, softening, tile, interpret):
+    b, n = pos.shape[0], pos.shape[1]
+    masses = mass is not None
+    t = tile if tile is not None else 1024
+    if masses:
+        t = min(t, 896)  # _resolve_tiling's mass-mode VMEM bound
+    t = min(t, round_up(n, 8))
+    if not interpret and t < round_up(n, 8):
+        t = round_up(t, 128)
+    c = round_up(n, t)
+    pos_p = jnp.pad(pos.astype(jnp.float32), ((0, 0), (0, c - n), (0, 0)),
+                    constant_values=FAR).reshape(b * c, 3)
+    m_p = None
+    if masses:
+        m_p = jnp.pad(mass.astype(jnp.float32),
+                      ((0, 0), (0, c - n))).reshape(b * c)
+    flat = _pack(pos_p, m_p, b * c, b * c)
+    k = flat.shape[1]
+    pjt = flat.T
+    tri_call, _ = _build_calls(softening, t, c, k, interpret)
+    tri_body, _ = _make_scan_bodies(tri_call, None, c, k)
+    carry = (jnp.zeros((b * c, 3), jnp.float32),
+             jnp.zeros((3, b * c), jnp.float32), flat, pjt)
+    offs = jnp.arange(b, dtype=jnp.int32) * c
+    carry, _ = jax.lax.scan(tri_body, carry, offs)
+    return (carry[0] + carry[1].T).reshape(b, c, 3)[:, :n]
+
+
 def body_force_symmetric_segmented(
     pos,
     mass=None,

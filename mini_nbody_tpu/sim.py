@@ -417,39 +417,51 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None):
     """Integrate B INDEPENDENT N-body systems batched on one chip.
 
     state fields carry a leading batch dim: pos/vel (B, N, 3), mass (B, N).
-    Forces run through ops/sym_mxu_force.body_force_sym_mxu_ensemble (each
-    system is one chunk of the symmetric traversal; no cross-system pairs,
-    no per-system launches — the device sees one (B*c)-body program and
-    small systems run at the big-N streamed rate). Any cfg.integrator
-    works (the integrators are elementwise over the batched state);
-    backend must be the sym_mxu class (the only kernel with the ensemble
-    driver). Watchdog-segmented like simulate.
+    Forces run through the symmetric ensemble drivers (each system is one
+    chunk of the symmetric traversal; no cross-system pairs, no per-system
+    launches — the device sees one (B*c)-body program and small systems
+    run at the big-N streamed rate): backend 'sym_mxu' = the bf16-class
+    MXU hybrid (ops/sym_mxu_force.body_force_sym_mxu_ensemble), 'sym' =
+    fp32-exact (ops/symmetric_force.body_force_symmetric_ensemble). Any
+    cfg.integrator works (the integrators are elementwise over the
+    batched state). Watchdog-segmented like simulate.
 
     The TPU-native answer to parameter sweeps / perturbation ensembles —
     a workload the reference could only serve one RAM-load at a time
     (``src/top_level.vhd:180-186``).
     """
-    from mini_nbody_tpu.ops.sym_mxu_force import body_force_sym_mxu_ensemble
-
     steps = cfg.steps if steps is None else steps
     if state.pos.ndim != 3:
         raise ValueError(
             f"simulate_ensemble needs batched state (B, N, 3); got pos "
             f"{state.pos.shape}")
-    if cfg.effective_backend() != "sym_mxu":
+    eff = cfg.effective_backend()
+    if eff not in ("sym", "sym_mxu"):
         raise ValueError(
-            "simulate_ensemble runs the sym_mxu ensemble kernel; set "
-            f"backend='sym_mxu' (got {cfg.effective_backend()!r})")
+            "simulate_ensemble runs the symmetric ensemble kernels; set "
+            f"backend='sym_mxu' or 'sym' (got {eff!r})")
     b, n = state.pos.shape[0], state.pos.shape[1]
     if n != cfg.n:
         raise ValueError(f"cfg.n={cfg.n} != per-system N={n}")
     interp = cfg.resolve_interpret()
 
-    def force3(pos_i, pos_j, mass_j):
-        return body_force_sym_mxu_ensemble(
-            pos_i, mass_j, softening=cfg.softening,
-            tile=cfg.sym_tile, interpret=interp, split_w=cfg.split_w,
-            coincident=cfg.coincident)
+    if eff == "sym_mxu":
+        from mini_nbody_tpu.ops.sym_mxu_force import (
+            body_force_sym_mxu_ensemble)
+
+        def force3(pos_i, pos_j, mass_j):
+            return body_force_sym_mxu_ensemble(
+                pos_i, mass_j, softening=cfg.softening,
+                tile=cfg.sym_tile, interpret=interp, split_w=cfg.split_w,
+                coincident=cfg.coincident)
+    else:
+        from mini_nbody_tpu.ops.symmetric_force import (
+            body_force_symmetric_ensemble)
+
+        def force3(pos_i, pos_j, mass_j):
+            return body_force_symmetric_ensemble(
+                pos_i, mass_j, softening=cfg.softening,
+                tile=cfg.sym_tile, interpret=interp)
 
     integ = INTEGRATORS[cfg.integrator]
     mass3 = state.mass if cfg.use_masses else None

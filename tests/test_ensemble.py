@@ -103,3 +103,30 @@ def test_validation():
     with pytest.raises(ValueError, match="coincident"):
         body_force_sym_mxu_ensemble(st.pos, interpret=INTERP,
                                     coincident="no")
+
+
+@pytest.mark.parametrize("masses", [False, True])
+def test_fp32_force_bitwise_vs_standalone(masses):
+    from mini_nbody_tpu.ops.symmetric_force import (
+        body_force_symmetric, body_force_symmetric_ensemble)
+
+    ss, st = _systems(masses, key0=20)
+    m = st.mass if masses else None
+    f = np.asarray(body_force_symmetric_ensemble(st.pos, m, tile=TILE,
+                                                 interpret=INTERP))
+    for i in range(B):
+        ref = body_force_symmetric(
+            ss[i].pos, ss[i].mass if masses else None,
+            tile=TILE, chunk=C, interpret=INTERP)
+        np.testing.assert_array_equal(f[i], np.asarray(ref))
+
+
+def test_fp32_trajectory_bitwise_vs_per_system():
+    ss, st = _systems(masses=True, key0=30)
+    cfg = SimConfig(n=N, dt=1e-3, steps=4, backend="sym", sym_tile=TILE,
+                    use_masses=True, interpret=True, integrator="leapfrog")
+    out = simulate_ensemble(cfg, st)
+    for i in range(B):
+        ref = simulate(cfg.replace(sym_chunk=C, resident=False), ss[i])
+        np.testing.assert_array_equal(np.asarray(out.pos[i]),
+                                      np.asarray(ref.pos))
