@@ -262,3 +262,76 @@ def make_differentiable_force(cfg, mass_grad: bool = False):
         return diff(pos, mass)
 
     return force
+
+
+def make_differentiable_ensemble_force(cfg):
+    """Differentiable ``force(pos, mass=None) -> (B, N, 3)`` over the
+    ensemble drivers (sim.simulate_ensemble's force): forward = the
+    block-diagonal one-chunk-per-system kernel, backward = lax.scan over
+    systems of the symmetric backward kernel matching the forward's
+    precision class (vjp_pos_sym_mxu for 'sym_mxu', vjp_pos_sym for 'sym')
+    — the ensemble VJP IS block-diagonal, so per-system backwards are
+    exact, and a scan of fixed-shape Pallas launches is the established
+    TPU-safe pattern (no vmap-of-pallas_call). Gradients flow to pos only
+    (mass treated as static, like the default make_differentiable_force).
+    """
+    eff = cfg.effective_backend()
+    if eff not in ("sym", "sym_mxu"):
+        raise ValueError(
+            "ensemble force requires backend='sym_mxu' or 'sym', got "
+            f"{eff!r}")
+    interp = cfg.resolve_interpret()
+    soft = float(cfg.softening)
+    _bwd_kw = ({} if cfg.sym_bwd_tile is None
+               else {"tile": cfg.sym_bwd_tile})
+
+    if eff == "sym_mxu":
+        from mini_nbody_tpu.ops.sym_mxu_force import (
+            body_force_sym_mxu_ensemble)
+        from mini_nbody_tpu.ops.vjp_mxu import vjp_pos_sym_mxu as _vjp1
+
+        def fwd_impl(pos, mass):
+            return body_force_sym_mxu_ensemble(
+                pos, mass, softening=soft, tile=cfg.sym_tile,
+                interpret=interp, split_w=cfg.split_w,
+                coincident=cfg.coincident)
+    else:
+        from mini_nbody_tpu.ops.symmetric_force import (
+            body_force_symmetric_ensemble)
+        from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_sym as _vjp1
+
+        def fwd_impl(pos, mass):
+            return body_force_symmetric_ensemble(
+                pos, mass, softening=soft, tile=cfg.sym_tile,
+                interpret=interp)
+
+    use_masses = cfg.use_masses
+
+    @jax.custom_vjp
+    def force_diff(pos, mass):
+        return fwd_impl(pos, mass if use_masses else None)
+
+    def _fwd(pos, mass):
+        return force_diff(pos, mass), (pos, mass)
+
+    def _bwd(res, g):
+        pos, mass = res
+
+        def body(_, args):
+            p, gb, m = args
+            bar = _vjp1(p, gb, m if use_masses else None, softening=soft,
+                        interpret=interp, coincident=cfg.coincident,
+                        **_bwd_kw)
+            return None, bar
+
+        _, bars = jax.lax.scan(body, None, (pos, g, mass))
+        return bars, jnp.zeros_like(mass)
+
+    force_diff.defvjp(_fwd, _bwd)
+
+    def force(pos, mass=None):
+        if mass is None:
+            mass = jnp.ones(pos.shape[:2], pos.dtype)
+        return force_diff(pos, mass)
+
+    return force
