@@ -123,14 +123,21 @@ def cmd_run(args):
     from mini_nbody_tpu.utils import checkpoint as ckpt
 
     cfg = _build(args)
-    if args.resume:
-        state, start_step, cfg_dict = ckpt.load(args.resume)
-        print(f"resumed from {args.resume} at step {start_step}", file=sys.stderr)
-    else:
-        state, start_step = _state(args, cfg), 0
-
-    t0 = time.perf_counter()
     if getattr(args, "ensemble", 0):
+        # BEFORE the single-system state build (no wasted N-body init) and
+        # with explicit conflicts: an ensemble neither resumes a
+        # single-system checkpoint nor writes one (code-review r3d — the
+        # old flow silently discarded a --resume-loaded state).
+        for flag in ("resume", "save", "trajectory"):
+            if getattr(args, flag, None):
+                raise SystemExit(
+                    f"--ensemble does not support --{flag} (ensembles are "
+                    "seed-initialized, single-run batches)")
+        if args.backend == "auto":
+            # the advertised default class; 'auto' would resolve to the
+            # fp32 'sym' which simulate_ensemble also accepts but is not
+            # what the flag's help promises
+            cfg = cfg.replace(backend="sym_mxu")
         from mini_nbody_tpu.models.state import BodyState
         from mini_nbody_tpu.sim import simulate_ensemble
 
@@ -138,6 +145,7 @@ def cmd_run(args):
         import jax.numpy as jnp
         from mini_nbody_tpu.models import init as minit
 
+        t0 = time.perf_counter()
         systems = [minit.make(args.init, jax.random.key(args.seed + i),
                               cfg.n) for i in range(b)]
         batched = BodyState(
@@ -155,6 +163,13 @@ def cmd_run(args):
                        .sum(axis=1)).max()),
         }))
         return
+    if args.resume:
+        state, start_step, cfg_dict = ckpt.load(args.resume)
+        print(f"resumed from {args.resume} at step {start_step}", file=sys.stderr)
+    else:
+        state, start_step = _state(args, cfg), 0
+
+    t0 = time.perf_counter()
     if args.trajectory:
         # Stacked position history every --save-every steps (the analog of
         # the reference host reading the force buffer back after each
@@ -419,9 +434,10 @@ def main(argv=None):
                         "snapshot stride (with --trajectory)")
     p.add_argument("--ensemble", type=int, default=0, metavar="B",
                    help="integrate B INDEPENDENT n-body systems batched in "
-                        "one program (sym_mxu backend; each system one "
-                        "chunk of the symmetric traversal - "
-                        "sim.simulate_ensemble)")
+                        "one program (sim.simulate_ensemble; --backend auto "
+                        "upgrades to sym_mxu here, or pass sym for "
+                        "fp32-exact; each system is one chunk of the "
+                        "symmetric traversal)")
     p.add_argument("--trajectory",
                    help="write stacked position snapshots every "
                         "--save-every steps to this npz (works sharded "

@@ -612,6 +612,15 @@ def body_force_sym_mxu_ensemble(
                           coincident=coincident)
 
 
+def ensemble_tiling(n, tile, interpret):
+    """(tile, c) the ensemble driver resolves: one chunk per system —
+    _resolve_tiling with chunk = n, the single source of the alignment
+    rules (also consumed by sim.simulate_ensemble's watchdog pacing)."""
+    t, c, _, _ = _resolve_tiling(n, tile if tile is not None else 1024, n,
+                                 interpret)
+    return t, c
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("softening", "tile", "interpret", "split_w",
@@ -620,11 +629,7 @@ def body_force_sym_mxu_ensemble(
 def _ensemble_impl(pos, mass, *, softening, tile, interpret, split_w,
                    coincident):
     b, n = pos.shape[0], pos.shape[1]
-    t = tile if tile is not None else 1024
-    t = min(t, round_up(n, 8))
-    if not interpret:
-        t = round_up(t, 128)
-    c = round_up(n, t)
+    t, c = ensemble_tiling(n, tile, interpret)
     if coincident == "auto":
         dup = jnp.any(jax.vmap(any_coincident)(pos))
     # Per-system FAR pads: inert exactly as in the single-system kernel

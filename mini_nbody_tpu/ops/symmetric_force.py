@@ -374,6 +374,16 @@ def body_force_symmetric_ensemble(
                           interpret=interpret)
 
 
+def ensemble_tiling(n, tile, masses, interpret):
+    """(tile, c) the fp32 ensemble driver resolves: one chunk per system —
+    _resolve_tiling with chunk = n (keeps the mass-mode 896 VMEM cap and
+    alignment rules in ONE place; also consumed by sim.simulate_ensemble's
+    watchdog pacing)."""
+    t, c, _, _ = _resolve_tiling(n, tile if tile is not None else 1024, n,
+                                 masses, interpret)
+    return t, c
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("softening", "tile", "interpret"),
@@ -381,13 +391,7 @@ def body_force_symmetric_ensemble(
 def _ensemble_impl(pos, mass, *, softening, tile, interpret):
     b, n = pos.shape[0], pos.shape[1]
     masses = mass is not None
-    t = tile if tile is not None else 1024
-    if masses:
-        t = min(t, 896)  # _resolve_tiling's mass-mode VMEM bound
-    t = min(t, round_up(n, 8))
-    if not interpret and t < round_up(n, 8):
-        t = round_up(t, 128)
-    c = round_up(n, t)
+    t, c = ensemble_tiling(n, tile, masses, interpret)
     pos_p = jnp.pad(pos.astype(jnp.float32), ((0, 0), (0, c - n), (0, 0)),
                     constant_values=FAR).reshape(b * c, 3)
     m_p = None

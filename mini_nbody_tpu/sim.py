@@ -120,8 +120,15 @@ def max_steps_per_dispatch(n: int, n_devices: int = 1,
                            cfg: Optional[SimConfig] = None) -> int:
     """Steps per XLA dispatch that keep estimated device time under the
     watchdog cap (O(N^2/P) pairs/step at the pacing rate — conservative
-    flat default, or the autotune cache's measured rate when available)."""
-    per_step = float(n) * n / n_devices / (_pacing_rate(cfg) * 1e9)
+    flat default, or the autotune cache's measured rate when available).
+    Multi-eval integrators (rk4 = 4 force passes/step, yoshida4 = 3)
+    scale the estimate via FORCE_EVALS — sized at 1 eval/step a yoshida4
+    dispatch would run 3x the device-time budget."""
+    from mini_nbody_tpu.ops.integrators import FORCE_EVALS
+
+    evals = FORCE_EVALS.get(cfg.integrator, 1) if cfg is not None else 1
+    per_step = (evals * float(n) * n / n_devices
+                / (_pacing_rate(cfg) * 1e9))
     return max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / max(per_step, 1e-12)))
 
 
@@ -466,11 +473,6 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None):
     integ = INTEGRATORS[cfg.integrator]
     mass3 = state.mass if cfg.use_masses else None
 
-    def acc0(st):
-        if cfg.integrator in ("leapfrog", "yoshida4"):
-            return force3(st.pos, st.pos, mass3)
-        return jnp.zeros_like(st.pos)
-
     def forcefn(pi, pj, mj):
         return force3(pi, pj, mass3)
 
@@ -484,18 +486,26 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None):
         (st, acc), _ = jax.lax.scan(body, (st, acc), None, length=k)
         return st, acc
 
-    # Watchdog pacing: B systems x c^2/2-ish pairs per force pass.
-    from mini_nbody_tpu.utils.config import round_up
+    # Watchdog pacing: B systems x c^2/2-ish pairs per force pass, with c
+    # from the SAME tiling resolution the ensemble driver uses (a hand-
+    # rolled copy here missed symmetric_force's mass-mode 896 tile cap ->
+    # ~3x pair undercount; code-review r3d) and the integrator's force
+    # evals per step (yoshida4 runs 3 passes in one dispatch).
+    from mini_nbody_tpu.ops.integrators import FORCE_EVALS
 
-    t = cfg.sym_tile or 1024
-    c = round_up(n, min(t, round_up(n, 8)) if interp
-                 else round_up(min(t, round_up(n, 8)), 128))
-    evals = {"euler": 1, "leapfrog": 1, "rk4": 4, "yoshida4": 3}
-    per_step = (evals[cfg.integrator] * b * float(c) * c
+    if eff == "sym_mxu":
+        from mini_nbody_tpu.ops.sym_mxu_force import ensemble_tiling
+
+        _, c = ensemble_tiling(n, cfg.sym_tile, interp)
+    else:
+        from mini_nbody_tpu.ops.symmetric_force import ensemble_tiling
+
+        _, c = ensemble_tiling(n, cfg.sym_tile, cfg.use_masses, interp)
+    per_step = (FORCE_EVALS[cfg.integrator] * b * float(c) * c
                 / (_pacing_rate(cfg) * 1e9))
     seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / max(per_step, 1e-12)))
 
-    st, acc = state, acc0(state)
+    st, acc = state, initial_acc(state, forcefn, cfg.integrator)
     done = 0
     while done < steps:
         k = min(seg, steps - done)

@@ -146,3 +146,12 @@ def test_run_ensemble(capsys):
     # per-system momentum is conserved by Newton's 3rd law (plummer init
     # starts near zero total momentum)
     assert rep["momentum_max_abs"] < 1e-3
+
+
+def test_run_ensemble_rejects_resume_and_save(tmp_path):
+    with pytest.raises(SystemExit, match="resume"):
+        cli.main(["run", "--n", "64", "--ensemble", "2",
+                  "--resume", str(tmp_path / "x.npz")])
+    with pytest.raises(SystemExit, match="save"):
+        cli.main(["run", "--n", "64", "--ensemble", "2",
+                  "--save", str(tmp_path / "y.npz")])

@@ -427,3 +427,15 @@ class TestYoshida4:
 
         with pytest.raises(ValueError, match="resident"):
             SimConfig(n=64, resident=True, integrator="yoshida4")
+
+
+def test_pacing_scales_with_force_evals():
+    # yoshida4 runs 3 force passes per step, rk4 four: the watchdog
+    # segment must shrink accordingly (code-review r3d).
+    from mini_nbody_tpu.sim import max_steps_per_dispatch
+
+    n = 1 << 20
+    e = max_steps_per_dispatch(n, cfg=SimConfig(n=n, integrator="euler"))
+    y = max_steps_per_dispatch(n, cfg=SimConfig(n=n, integrator="yoshida4"))
+    r = max_steps_per_dispatch(n, cfg=SimConfig(n=n, integrator="rk4"))
+    assert y <= -(-e // 3) and r <= -(-e // 4)
