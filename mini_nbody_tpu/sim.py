@@ -420,7 +420,8 @@ def _trajectory_hostseg(cfg: SimConfig, state: BodyState, steps: int,
     return state, jnp.stack(snaps)
 
 
-def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None):
+def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None,
+                      mesh=None):
     """Integrate B INDEPENDENT N-body systems batched on one chip.
 
     state fields carry a leading batch dim: pos/vel (B, N, 3), mass (B, N).
@@ -432,6 +433,12 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None):
     fp32-exact (ops/symmetric_force.body_force_symmetric_ensemble). Any
     cfg.integrator works (the integrators are elementwise over the
     batched state). Watchdog-segmented like simulate.
+
+    mesh (optional jax.sharding.Mesh, first axis = the batch axis): shard
+    the B systems data-parallel over devices — embarrassingly parallel,
+    ZERO collectives (no cross-system pairs means no cross-device pairs);
+    each device runs its B/P-system sub-batch through the same ensemble
+    kernel via shard_map. Requires B % mesh.devices.size == 0.
 
     The TPU-native answer to parameter sweeps / perturbation ensembles —
     a workload the reference could only serve one RAM-load at a time
@@ -472,6 +479,37 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None):
 
     integ = INTEGRATORS[cfg.integrator]
     mass3 = state.mass if cfg.use_masses else None
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nd = mesh.devices.size
+        if b % nd != 0:
+            raise ValueError(
+                f"ensemble batch B={b} must divide the mesh size {nd}")
+        ax = mesh.axis_names[0]
+        bspec = P(ax)
+        inner3 = force3
+        if cfg.use_masses:
+            sharded_force = shard_map(
+                lambda p, m: inner3(p, p, m), mesh=mesh,
+                in_specs=(bspec, bspec), out_specs=bspec, check_vma=False)
+        else:
+            sharded_force = shard_map(
+                lambda p: inner3(p, p, None), mesh=mesh,
+                in_specs=(bspec,), out_specs=bspec, check_vma=False)
+
+        def force3(pos_i, pos_j, mass_j):  # noqa: F811 — sharded rebind
+            return (sharded_force(pos_i, mass_j) if cfg.use_masses
+                    else sharded_force(pos_i))
+
+        # place the batched state on the mesh (batch axis sharded)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(ax, *([None] * (x.ndim - 1))))),
+            state)
+        mass3 = state.mass if cfg.use_masses else None
 
     def forcefn(pi, pj, mj):
         return force3(pi, pj, mass3)

@@ -192,3 +192,43 @@ class TestDifferentiableEnsemble:
         with pytest.raises(ValueError, match="sym_mxu"):
             make_differentiable_ensemble_force(
                 SimConfig(n=N, backend="pallas", interpret=True))
+
+
+class TestShardedEnsemble:
+    """mesh= shards the batch axis data-parallel with ZERO collectives;
+    results must be bitwise equal to the unsharded run."""
+
+    def _batched(self, b, masses=True):
+        make = init.plummer if masses else init.uniform_random
+        ss = [make(jax.random.key(80 + i), N) for i in range(b)]
+        return BodyState(pos=jnp.stack([s.pos for s in ss]),
+                         vel=jnp.stack([s.vel for s in ss]),
+                         mass=jnp.stack([s.mass for s in ss]))
+
+    @pytest.mark.parametrize("masses", [False, True])
+    def test_matches_unsharded_bitwise(self, masses):
+        from mini_nbody_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        st = self._batched(8, masses)
+        cfg = SimConfig(n=N, dt=1e-3, steps=3, backend="sym_mxu",
+                        sym_tile=TILE, use_masses=masses, interpret=True,
+                        integrator="leapfrog")
+        ref = simulate_ensemble(cfg, st)
+        out = simulate_ensemble(cfg, st, mesh=make_mesh(8))
+        np.testing.assert_array_equal(np.asarray(out.pos),
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.vel),
+                                      np.asarray(ref.vel))
+
+    def test_batch_must_divide_mesh(self):
+        from mini_nbody_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        st = self._batched(3)
+        cfg = SimConfig(n=N, backend="sym_mxu", sym_tile=TILE,
+                        use_masses=True, interpret=True)
+        with pytest.raises(ValueError, match="divide"):
+            simulate_ensemble(cfg, st, mesh=make_mesh(8))
