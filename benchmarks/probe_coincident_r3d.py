@@ -119,16 +119,43 @@ def probe_mxu_square(reps):
     assert (outs["auto"] == outs["masked"]).all(), "mxu_sq auto != masked"
 
 
+def probe_ensemble(reps):
+    """Ensemble throughput: B systems batched in one program vs B
+    standalone streamed runs (r3e feature; expect the batched rate near
+    the big-N streamed rate while per-system launches pay dispatch
+    overhead per system)."""
+    import jax.numpy as jnp
+
+    from mini_nbody_tpu import SimConfig, simulate, simulate_ensemble
+    from mini_nbody_tpu.models.state import BodyState
+
+    bb, n, steps = 64, 1024, 200
+    ss = [init.uniform_random(jax.random.key(200 + i), n) for i in range(bb)]
+    st = BodyState(pos=jnp.stack([s.pos for s in ss]),
+                   vel=jnp.stack([s.vel for s in ss]),
+                   mass=jnp.stack([s.mass for s in ss]))
+    cfg = SimConfig(n=n, dt=1e-4, steps=steps, backend="sym_mxu")
+    sec = time_fn(lambda: simulate_ensemble(cfg, st).pos, reps=reps)
+    _emit("ensemble_batched", "sym_mxu", n, sec,
+          bb * steps * float(n) * n / 2, {"B": bb, "steps": steps})
+    cfg1 = cfg.replace(resident=False)
+    sec1 = time_fn(
+        lambda: [simulate(cfg1, s).pos for s in ss][-1], reps=max(1, reps - 1))
+    _emit("ensemble_looped", "sym_mxu", n, sec1,
+          bb * steps * float(n) * n / 2, {"B": bb, "steps": steps})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--only", choices=["bwd_mxu", "bwd_fp32", "resident",
-                                       "mxu_sq"], default=None)
+                                       "mxu_sq", "ensemble"], default=None)
     args = ap.parse_args()
     print(json.dumps({"backend": jax.default_backend(),
                       "device": jax.devices()[0].device_kind}), flush=True)
     probes = {"bwd_mxu": probe_bwd_mxu, "bwd_fp32": probe_bwd_fp32,
-              "resident": probe_resident, "mxu_sq": probe_mxu_square}
+              "resident": probe_resident, "mxu_sq": probe_mxu_square,
+              "ensemble": probe_ensemble}
     for name, fn in probes.items():
         if args.only in (None, name):
             fn(args.reps)
