@@ -232,3 +232,23 @@ class TestShardedEnsemble:
                         use_masses=True, interpret=True)
         with pytest.raises(ValueError, match="divide"):
             simulate_ensemble(cfg, st, mesh=make_mesh(8))
+
+
+def test_ensemble_watchdog_segmentation_matches(monkeypatch):
+    # Forcing tiny dispatch segments must not change the trajectory
+    # (host-segmented loop reuses the same compiled scan).
+    from mini_nbody_tpu import sim as simmod
+
+    ss = [init.uniform_random(jax.random.key(90 + i), N) for i in range(2)]
+    st = BodyState(pos=jnp.stack([s.pos for s in ss]),
+                   vel=jnp.stack([s.vel for s in ss]),
+                   mass=jnp.stack([s.mass for s in ss]))
+    cfg = SimConfig(n=N, dt=1e-3, steps=7, backend="sym_mxu",
+                    sym_tile=TILE, interpret=True, integrator="leapfrog")
+    ref = simmod.simulate_ensemble(cfg, st)
+    # seg = 2: pairs/step = 2*C^2 at 100 G/s
+    monkeypatch.setattr(simmod, "MAX_DEVICE_SECONDS_PER_DISPATCH",
+                        2 * 2 * C * C / (simmod._CONSERVATIVE_GINTER_S * 1e9))
+    out = simmod.simulate_ensemble(cfg, st)
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(out.vel), np.asarray(ref.vel))
