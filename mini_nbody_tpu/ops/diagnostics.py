@@ -110,3 +110,27 @@ def assert_finite(state: BodyState, context: str = ""):
     flags = {k: bool(v) for k, v in check_finite(state).items()}
     if not all(flags.values()):
         raise FloatingPointError(f"non-finite body state {context}: {flags}")
+
+
+def total_energy_ensemble(state: BodyState, softening: float = SOFTENING):
+    """Per-system total energy (B,) for a batched ensemble state
+    (pos/vel (B, N, 3), mass (B, N)) — the drift-gate diagnostic for
+    sim.simulate_ensemble runs. lax.scan over systems (the TPU-safe
+    batching for the Pallas potential path, like the ensemble backward)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    def body(_, args):
+        p, v, m = args
+        e = total_energy(BodyState(pos=p, vel=v, mass=m), softening)
+        return None, e
+
+    _, es = _jax.lax.scan(body, None, (state.pos, state.vel, state.mass))
+    return es
+
+
+def momentum_ensemble(state: BodyState):
+    """Per-system total momentum (B, 3) for a batched ensemble state."""
+    import jax.numpy as _jnp
+
+    return _jnp.sum(state.vel * state.mass[..., None], axis=1)

@@ -252,3 +252,17 @@ def test_ensemble_watchdog_segmentation_matches(monkeypatch):
     out = simmod.simulate_ensemble(cfg, st)
     np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(ref.pos))
     np.testing.assert_array_equal(np.asarray(out.vel), np.asarray(ref.vel))
+
+
+def test_ensemble_diagnostics():
+    from mini_nbody_tpu.ops import diagnostics as diag
+
+    ss, st = _systems(masses=True, key0=95)
+    es = np.asarray(diag.total_energy_ensemble(st, 1e-2))
+    ps = np.asarray(diag.momentum_ensemble(st))
+    assert es.shape == (B,) and ps.shape == (B, 3)
+    for i in range(B):
+        np.testing.assert_allclose(
+            es[i], float(diag.total_energy(ss[i], 1e-2)), rtol=1e-6)
+        np.testing.assert_allclose(
+            ps[i], np.asarray(diag.momentum(ss[i])), rtol=1e-6, atol=1e-7)
