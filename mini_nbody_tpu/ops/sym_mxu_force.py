@@ -137,6 +137,13 @@ def any_coincident(pos):
     return dup | tiny | far
 
 
+#: Module-level jit so host-resolved 'auto' (the segmented driver) hits one
+#: cached compile per shape — jax.jit caches by wrapper identity, so a
+#: per-call jax.jit(any_coincident) re-compiled through the (slow) remote
+#: helper on every segmented force call.
+_any_coincident_jit = jax.jit(any_coincident)
+
+
 def _mm(a, b, dims):
     return jax.lax.dot_general(
         a, b, (dims, ((), ())),
@@ -686,7 +693,7 @@ def body_force_sym_mxu_segmented(
     if coincident == "auto":
         import numpy as _np
 
-        mask_offdiag = bool(_np.asarray(jax.jit(any_coincident)(pos)))
+        mask_offdiag = bool(_np.asarray(_any_coincident_jit(pos)))
     else:
         mask_offdiag = coincident == "masked"
     n = pos.shape[0]

@@ -459,29 +459,7 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None,
         raise ValueError(f"cfg.n={cfg.n} != per-system N={n}")
     interp = cfg.resolve_interpret()
 
-    if eff == "sym_mxu":
-        from mini_nbody_tpu.ops.sym_mxu_force import (
-            body_force_sym_mxu_ensemble)
-
-        def force3(pos_i, pos_j, mass_j):
-            return body_force_sym_mxu_ensemble(
-                pos_i, mass_j, softening=cfg.softening,
-                tile=cfg.sym_tile, interpret=interp, split_w=cfg.split_w,
-                coincident=cfg.coincident)
-    else:
-        from mini_nbody_tpu.ops.symmetric_force import (
-            body_force_symmetric_ensemble)
-
-        def force3(pos_i, pos_j, mass_j):
-            return body_force_symmetric_ensemble(
-                pos_i, mass_j, softening=cfg.softening,
-                tile=cfg.sym_tile, interpret=interp)
-
-    integ = INTEGRATORS[cfg.integrator]
-    mass3 = state.mass if cfg.use_masses else None
-
     if mesh is not None:
-        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         nd = mesh.devices.size
@@ -489,40 +467,11 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None,
             raise ValueError(
                 f"ensemble batch B={b} must divide the mesh size {nd}")
         ax = mesh.axis_names[0]
-        bspec = P(ax)
-        inner3 = force3
-        if cfg.use_masses:
-            sharded_force = shard_map(
-                lambda p, m: inner3(p, p, m), mesh=mesh,
-                in_specs=(bspec, bspec), out_specs=bspec, check_vma=False)
-        else:
-            sharded_force = shard_map(
-                lambda p: inner3(p, p, None), mesh=mesh,
-                in_specs=(bspec,), out_specs=bspec, check_vma=False)
-
-        def force3(pos_i, pos_j, mass_j):  # noqa: F811 — sharded rebind
-            return (sharded_force(pos_i, mass_j) if cfg.use_masses
-                    else sharded_force(pos_i))
-
         # place the batched state on the mesh (batch axis sharded)
         state = jax.tree_util.tree_map(
             lambda x: jax.device_put(
                 x, NamedSharding(mesh, P(ax, *([None] * (x.ndim - 1))))),
             state)
-        mass3 = state.mass if cfg.use_masses else None
-
-    def forcefn(pi, pj, mj):
-        return force3(pi, pj, mass3)
-
-    @partial(jax.jit, static_argnames=("k",))
-    def run_k(st, acc, k):
-        def body(carry, _):
-            s, a = carry
-            s, a = integ(s, a, forcefn, cfg.dt)
-            return (s, a), None
-
-        (st, acc), _ = jax.lax.scan(body, (st, acc), None, length=k)
-        return st, acc
 
     # Watchdog pacing: B systems x c^2/2-ish pairs per force pass, with c
     # from the SAME tiling resolution the ensemble driver uses (a hand-
@@ -543,12 +492,77 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None,
                 / (_pacing_rate(cfg) * 1e9))
     seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / max(per_step, 1e-12)))
 
-    st, acc = state, initial_acc(state, forcefn, cfg.integrator)
+    st, acc = state, _ensemble_initial_acc(cfg, mesh, state)
     done = 0
     while done < steps:
         k = min(seg, steps - done)
-        st, acc = run_k(st, acc, k)
+        st, acc = _ensemble_run_k(cfg, mesh, st, acc, k)
         done += k
         if done < steps:
             _sync(st.pos)
     return st
+
+
+def _ensemble_forcefn(cfg: SimConfig, mesh):
+    """(pos (B,N,3), mass (B,N)|None) -> acc, resolved from cfg statics.
+
+    Plain builder (no jit of its own) called inside the module-level jitted
+    ensemble runners below so tracing is keyed on (cfg, mesh) — a per-call
+    closure here previously made EVERY simulate_ensemble() call re-trace and
+    re-compile the whole multi-step scan (~20 s each through the remote
+    compile helper), which the r3e batched-vs-looped probe mis-read as a
+    75x kernel slowdown."""
+    interp = cfg.resolve_interpret()
+    if cfg.effective_backend() == "sym_mxu":
+        from mini_nbody_tpu.ops.sym_mxu_force import (
+            body_force_sym_mxu_ensemble)
+
+        def base(p, m):
+            return body_force_sym_mxu_ensemble(
+                p, m, softening=cfg.softening, tile=cfg.sym_tile,
+                interpret=interp, split_w=cfg.split_w,
+                coincident=cfg.coincident)
+    else:
+        from mini_nbody_tpu.ops.symmetric_force import (
+            body_force_symmetric_ensemble)
+
+        def base(p, m):
+            return body_force_symmetric_ensemble(
+                p, m, softening=cfg.softening, tile=cfg.sym_tile,
+                interpret=interp)
+
+    if mesh is None:
+        return base
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    bspec = P(mesh.axis_names[0])
+    if cfg.use_masses:
+        return shard_map(base, mesh=mesh, in_specs=(bspec, bspec),
+                         out_specs=bspec, check_vma=False)
+    smap = shard_map(lambda p: base(p, None), mesh=mesh, in_specs=(bspec,),
+                     out_specs=bspec, check_vma=False)
+    return lambda p, m: smap(p)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _ensemble_initial_acc(cfg: SimConfig, mesh, st):
+    force = _ensemble_forcefn(cfg, mesh)
+    mass3 = st.mass if cfg.use_masses else None
+    return initial_acc(st, lambda pi, pj, mj: force(pi, mass3),
+                       cfg.integrator)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "k"))
+def _ensemble_run_k(cfg: SimConfig, mesh, st, acc, k: int):
+    force = _ensemble_forcefn(cfg, mesh)
+    mass3 = st.mass if cfg.use_masses else None
+    integ = INTEGRATORS[cfg.integrator]
+
+    def body(carry, _):
+        s, a = carry
+        s, a = integ(s, a, lambda pi, pj, mj: force(pi, mass3), cfg.dt)
+        return (s, a), None
+
+    (st, acc), _ = jax.lax.scan(body, (st, acc), None, length=k)
+    return st, acc
