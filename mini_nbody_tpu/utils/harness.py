@@ -15,6 +15,7 @@ ones).
 
 from __future__ import annotations
 
+import math
 import time
 from dataclasses import dataclass
 from typing import Callable
@@ -188,8 +189,17 @@ class Throughput:
             "n": self.n,
             "steps": self.steps,
             "seconds": round(self.seconds, 6),
-            "ginteractions_per_s": round(self.ginteractions_per_s, 3),
-            "per_device": round(self.ginteractions_per_s_per_device, 3),
-            "gflops_20c": round(self.gflops, 1),
-            "roofline_frac": round(self.roofline_fraction(path), 4),
+            "ginteractions_per_s": _sig(self.ginteractions_per_s),
+            "per_device": _sig(self.ginteractions_per_s_per_device),
+            "gflops_20c": _sig(self.gflops),
+            "roofline_frac": _sig(self.roofline_fraction(path)),
         }
+
+
+def _sig(x: float, figs: int = 6) -> float:
+    """Round to significant figures, not fixed decimals: a tiny-but-real
+    rate (n=64 interpret mode through the remote tunnel can land below
+    5e-4 GInter/s) must not report as exactly 0.0."""
+    if x == 0 or not math.isfinite(x):
+        return x
+    return round(x, max(0, figs - 1 - math.floor(math.log10(abs(x)))))
