@@ -89,6 +89,19 @@ def test_throughput_math():
     assert set(["n", "seconds", "ginteractions_per_s", "roofline_frac"]) <= set(rep)
 
 
+def test_throughput_report_tiny_rate_significant_figures():
+    # n=64 interpret mode through the remote tunnel can land below
+    # 5e-4 GInter/s; report() must keep significant figures rather than
+    # rounding a real rate to exactly 0.0.
+    t = Throughput(n=64, steps=1, seconds=10.0)
+    rep = t.report()
+    assert rep["ginteractions_per_s"] == pytest.approx(4.096e-7)
+    assert rep["roofline_frac"] > 0
+    # Normal-magnitude rates keep their familiar precision.
+    big = Throughput(n=1_000_000, steps=1, seconds=1e12 / 413.7e9)
+    assert big.report()["ginteractions_per_s"] == pytest.approx(413.7, abs=1e-3)
+
+
 def test_step_metrics():
     m = StepMetrics(n=1000).start()
     row = m.tick(10, energy=-1.0)
