@@ -23,7 +23,8 @@ from mini_nbody_tpu.models.state import BodyState
 from mini_nbody_tpu.models import init
 from mini_nbody_tpu.ops.force import body_force, make_force_fn
 from mini_nbody_tpu.sim import (make_rollout_fn, make_step_fn, simulate,
-                                simulate_ensemble)
+                                simulate_ensemble, trajectory,
+                                trajectory_ensemble)
 
 __version__ = "0.1.0"
 
@@ -37,4 +38,6 @@ __all__ = [
     "make_step_fn",
     "simulate",
     "simulate_ensemble",
+    "trajectory",
+    "trajectory_ensemble",
 ]

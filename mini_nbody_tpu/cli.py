@@ -128,7 +128,7 @@ def cmd_run(args):
         # with explicit conflicts: an ensemble neither resumes a
         # single-system checkpoint nor writes one (code-review r3d — the
         # old flow silently discarded a --resume-loaded state).
-        for flag in ("resume", "save", "trajectory"):
+        for flag in ("resume", "save"):
             if getattr(args, flag, None):
                 raise SystemExit(
                     f"--ensemble does not support --{flag} (ensembles are "
@@ -152,7 +152,17 @@ def cmd_run(args):
             pos=jnp.stack([s.pos for s in systems]),
             vel=jnp.stack([s.vel for s in systems]),
             mass=jnp.stack([s.mass for s in systems]))
-        out_b = simulate_ensemble(cfg, batched)
+        if args.trajectory:
+            from mini_nbody_tpu.sim import trajectory_ensemble
+
+            every = args.save_every or 1
+            out_b, hist = trajectory_ensemble(cfg, batched, save_every=every)
+            # (S, B, N, 3) history, one .npz shared with the single-system
+            # dump format (pos_history just gains the batch axis).
+            np.savez(args.trajectory, pos_history=np.asarray(hist),
+                     save_every=every, dt=cfg.dt)
+        else:
+            out_b = simulate_ensemble(cfg, batched)
         jax.block_until_ready(out_b.pos)
         wall = time.perf_counter() - t0
         print(json.dumps({
@@ -441,7 +451,7 @@ def main(argv=None):
     p.add_argument("--trajectory",
                    help="write stacked position snapshots every "
                         "--save-every steps to this npz (works sharded "
-                        "too; steps must divide evenly)")
+                        "and with --ensemble; steps must divide evenly)")
     p.add_argument("--resume", help="resume from checkpoint")
     p.add_argument("--energy", action="store_true", help="report total energy")
     p.set_defaults(fn=cmd_run)

@@ -445,14 +445,29 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None,
     (``src/top_level.vhd:180-186``).
     """
     steps = cfg.steps if steps is None else steps
+    state, seg = _ensemble_prepare(cfg, state, mesh)
+    st, acc = state, _ensemble_initial_acc(cfg, mesh, state)
+    done = 0
+    while done < steps:
+        k = min(seg, steps - done)
+        st, acc = _ensemble_run_k(cfg, mesh, st, acc, k)
+        done += k
+        if done < steps:
+            _sync(st.pos)
+    return st
+
+
+def _ensemble_prepare(cfg: SimConfig, state: BodyState, mesh):
+    """Shared ensemble entry validation + watchdog pacing: returns the
+    (possibly mesh-placed) batched state and the per-dispatch step cap."""
     if state.pos.ndim != 3:
         raise ValueError(
-            f"simulate_ensemble needs batched state (B, N, 3); got pos "
+            f"ensemble entry points need batched state (B, N, 3); got pos "
             f"{state.pos.shape}")
     eff = cfg.effective_backend()
     if eff not in ("sym", "sym_mxu"):
         raise ValueError(
-            "simulate_ensemble runs the symmetric ensemble kernels; set "
+            "ensembles run the symmetric ensemble kernels; set "
             f"backend='sym_mxu' or 'sym' (got {eff!r})")
     b, n = state.pos.shape[0], state.pos.shape[1]
     if n != cfg.n:
@@ -491,16 +506,59 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None,
     per_step = (FORCE_EVALS[cfg.integrator] * b * float(c) * c
                 / (_pacing_rate(cfg) * 1e9))
     seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / max(per_step, 1e-12)))
+    return state, seg
 
+
+def trajectory_ensemble(cfg: SimConfig, state: BodyState, steps: int = None,
+                        save_every: int = 1, mesh=None):
+    """simulate_ensemble + stacked per-system position snapshots: returns
+    (state_final, pos_history[steps//save_every, B, N, 3]).
+
+    Snapshot semantics match trajectory(): one snapshot AFTER every
+    `save_every`-th step. Watchdog-segmented on save_every boundaries with
+    snapshot chunks concatenated on host; under a mesh the history stays
+    batch-sharded (gather with np.asarray if the host needs it whole).
+
+    The batched analog of the reference host reading positions back after
+    each force pass (``src/top_level.vhd:180-186``), for B systems at once.
+    """
+    steps = cfg.steps if steps is None else steps
+    if steps % save_every != 0:
+        raise ValueError("steps must be divisible by save_every")
+    state, seg = _ensemble_prepare(cfg, state, mesh)
+    seg = max(save_every, seg - seg % save_every)  # multiple of save_every
     st, acc = state, _ensemble_initial_acc(cfg, mesh, state)
+    chunks = []
     done = 0
     while done < steps:
         k = min(seg, steps - done)
-        st, acc = _ensemble_run_k(cfg, mesh, st, acc, k)
+        st, acc, hist = _ensemble_traj_k(cfg, mesh, st, acc, k, save_every)
         done += k
+        chunks.append(hist)
         if done < steps:
             _sync(st.pos)
-    return st
+    return st, (chunks[0] if len(chunks) == 1
+                else jnp.concatenate(chunks, axis=0))
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "k", "save_every"))
+def _ensemble_traj_k(cfg: SimConfig, mesh, st, acc, k: int, save_every: int):
+    force = _ensemble_forcefn(cfg, mesh)
+    mass3 = st.mass if cfg.use_masses else None
+    integ = INTEGRATORS[cfg.integrator]
+
+    def inner(carry, _):
+        s, a = carry
+        s, a = integ(s, a, lambda pi, pj, mj: force(pi, mass3), cfg.dt)
+        return (s, a), None
+
+    def outer(carry, _):
+        carry, _ = jax.lax.scan(inner, carry, None, length=save_every)
+        return carry, carry[0].pos
+
+    (st, acc), hist = jax.lax.scan(outer, (st, acc), None,
+                                   length=k // save_every)
+    return st, acc, hist
 
 
 def _ensemble_forcefn(cfg: SimConfig, mesh):

@@ -148,6 +148,21 @@ def test_run_ensemble(capsys):
     assert rep["momentum_max_abs"] < 1e-3
 
 
+def test_run_ensemble_trajectory_dump(tmp_path, capsys):
+    import numpy as np
+
+    path = tmp_path / "ens_traj.npz"
+    out = _run(capsys, ["run", "--n", "96", "--steps", "4", "--backend",
+                        "sym_mxu", "--ensemble", "2", "--init", "plummer",
+                        "--trajectory", str(path), "--save-every", "2"])
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["ensemble"] == 2
+    d = np.load(path)
+    assert d["pos_history"].shape == (2, 2, 96, 3)  # (S, B, N, 3)
+    assert int(d["save_every"]) == 2
+    assert np.isfinite(d["pos_history"]).all()
+
+
 def test_run_ensemble_rejects_resume_and_save(tmp_path):
     with pytest.raises(SystemExit, match="resume"):
         cli.main(["run", "--n", "64", "--ensemble", "2",

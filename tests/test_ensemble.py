@@ -254,6 +254,76 @@ def test_ensemble_watchdog_segmentation_matches(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out.vel), np.asarray(ref.vel))
 
 
+class TestTrajectoryEnsemble:
+    """trajectory_ensemble = simulate_ensemble + snapshots: history rows
+    must be bitwise equal to the per-system trajectory() dumps."""
+
+    def test_bitwise_vs_per_system(self):
+        from mini_nbody_tpu.sim import trajectory, trajectory_ensemble
+
+        ss, st = _systems(masses=True, key0=40)
+        cfg = SimConfig(n=N, dt=1e-3, steps=6, backend="sym_mxu",
+                        sym_tile=TILE, use_masses=True, interpret=True,
+                        integrator="leapfrog")
+        out, hist = trajectory_ensemble(cfg, st, save_every=2)
+        assert hist.shape == (3, B, N, 3)
+        for i in range(B):
+            ref, rhist = trajectory(cfg.replace(sym_chunk=C, resident=False),
+                                    ss[i], cfg.steps, save_every=2)
+            np.testing.assert_array_equal(np.asarray(hist[:, i]),
+                                          np.asarray(rhist))
+            np.testing.assert_array_equal(np.asarray(out.pos[i]),
+                                          np.asarray(ref.pos))
+        # the final snapshot IS the final state
+        np.testing.assert_array_equal(np.asarray(hist[-1]),
+                                      np.asarray(out.pos))
+
+    def test_segmentation_neutral(self, monkeypatch):
+        from mini_nbody_tpu import sim as simmod
+
+        ss, st = _systems(masses=False, key0=44)
+        cfg = SimConfig(n=N, dt=1e-3, steps=6, backend="sym_mxu",
+                        sym_tile=TILE, interpret=True, integrator="euler")
+        _, ref = simmod.trajectory_ensemble(cfg, st, save_every=2)
+        # force seg = 2 steps/dispatch (rounded to a save_every multiple)
+        monkeypatch.setattr(
+            simmod, "MAX_DEVICE_SECONDS_PER_DISPATCH",
+            2 * B * C * C / (simmod._CONSERVATIVE_GINTER_S * 1e9))
+        out, hist = simmod.trajectory_ensemble(cfg, st, save_every=2)
+        np.testing.assert_array_equal(np.asarray(hist), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(hist[-1]),
+                                      np.asarray(out.pos))
+
+    def test_divisibility_validation(self):
+        from mini_nbody_tpu.sim import trajectory_ensemble
+
+        _, st = _systems()
+        cfg = SimConfig(n=N, steps=5, backend="sym_mxu", sym_tile=TILE,
+                        interpret=True)
+        with pytest.raises(ValueError, match="divisible"):
+            trajectory_ensemble(cfg, st, save_every=2)
+
+    def test_sharded_matches_unsharded(self):
+        from mini_nbody_tpu.parallel import make_mesh
+        from mini_nbody_tpu.sim import trajectory_ensemble
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        ss = [init.plummer(jax.random.key(60 + i), N) for i in range(8)]
+        st = BodyState(pos=jnp.stack([s.pos for s in ss]),
+                       vel=jnp.stack([s.vel for s in ss]),
+                       mass=jnp.stack([s.mass for s in ss]))
+        cfg = SimConfig(n=N, dt=1e-3, steps=4, backend="sym_mxu",
+                        sym_tile=TILE, use_masses=True, interpret=True,
+                        integrator="leapfrog")
+        _, ref = trajectory_ensemble(cfg, st, save_every=2)
+        out, hist = trajectory_ensemble(cfg, st, save_every=2,
+                                        mesh=make_mesh(8))
+        np.testing.assert_array_equal(np.asarray(hist), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(hist[-1]),
+                                      np.asarray(out.pos))
+
+
 def test_ensemble_diagnostics():
     from mini_nbody_tpu.ops import diagnostics as diag
 
