@@ -16,6 +16,10 @@ Run on the real chip: `python benchmarks/probe_ensemble_perf.py`.
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

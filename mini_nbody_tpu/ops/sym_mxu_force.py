@@ -176,15 +176,21 @@ def _mm_cols(vi, w_parts):
 
 
 def _tri_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
-                softening, tile, fast, nb, split_w, mask_offdiag=True):
+                softening, tile, fast, nb, split_w, mask_offdiag=True,
+                axis_off=0):
     """Self-chunk diagonal-band step: block (i, (i+d) mod nb) at grid (i, d).
 
     Diagonal blocks (d == 0) always mask d2 == 0 (self pairs); off-
     diagonal blocks mask only when mask_offdiag — the maskless body is
     ~13% faster and exact unless distinct coincident bodies exist
-    (any_coincident gates that outside)."""
-    i = pl.program_id(0)
-    d = pl.program_id(1)
+    (any_coincident gates that outside).
+
+    axis_off=1 runs the SAME body under the batched-ensemble grid
+    (system, i, d) — i/d just shift one grid axis right, and the
+    (i == 0, d == 0) colsT zero-init refires at the start of every
+    system because program ids reset per leading-axis step."""
+    i = pl.program_id(axis_off)
+    d = pl.program_id(axis_off + 1)
     jg = jax.lax.rem(i + d, jnp.int32(nb))  # vi/vj refs are (T, 8) [vhi|vlo]
 
     @pl.when(jnp.logical_and(d == 0, i == 0))
@@ -239,10 +245,10 @@ def _cross_kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
     colsT_ref[:, cj] = colsT_ref[:, cj] + s_c
 
 
-def _common_params(pairs, io_bytes):
+def _common_params(pairs, io_bytes, ndims=2):
     return dict(
         compiler_params=_CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * ndims,
         ),
         cost_estimate=pl.CostEstimate(
             flops=17 * pairs + 32 * pairs,  # VPU w + 2 padded (.,8) matmuls
@@ -309,6 +315,57 @@ def _build_calls(softening, tile, c, interpret, split_w=False,
         **_common_params(c * c, c * 96),
     )
     return tri_call, cross_call
+
+
+def _build_tri_ensemble(softening, tile, c, b, interpret, split_w,
+                        mask_offdiag):
+    """ONE pallas_call for B independent systems: the tri kernel under a
+    leading system axis, grid (b, nb, nd), every index map offset by the
+    system's block base s*nb (colsT gets a per-system (8, c) block at
+    column-block s).
+
+    This replaces the original lax.scan of per-system tri calls, which
+    dynamic-slice-accumulated the FULL (B*c, 8)/(8, B*c) carries every
+    iteration — ~8 MB of HBM read+write per system per force pass, 540
+    MB/step at B=64, c=1024, measured 687 us/step (benchmarks/
+    probe_ensemble_perf.py) where the slots' compute is ~160 us."""
+    nb = c // tile
+    nd = nb // 2 + 1
+    fast = fast_rsqrt_cube(softening)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_tri_kernel, softening=float(softening), tile=tile,
+                          fast=fast, nb=nb, split_w=split_w,
+                          mask_offdiag=mask_offdiag, axis_off=1),
+        grid=(b, nb, nd),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda s, i, d: (s * nb + i, 0),
+                         memory_space=vm),
+            pl.BlockSpec(
+                (3, tile),
+                lambda s, i, d: (
+                    0, s * nb + jax.lax.rem(i + d, jnp.int32(nb))),
+                memory_space=vm),
+            pl.BlockSpec((tile, 8), lambda s, i, d: (s * nb + i, 0),
+                         memory_space=vm),
+            pl.BlockSpec(
+                (tile, 8),
+                lambda s, i, d: (
+                    s * nb + jax.lax.rem(i + d, jnp.int32(nb)), 0),
+                memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 8), lambda s, i, d: (s * nb + i, 0),
+                         memory_space=vm),
+            pl.BlockSpec((8, c), lambda s, i, d: (0, s), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * c, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, b * c), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(b * nb * nd * tile * tile, b * c * 96, ndims=3),
+    )
 
 
 def _epilogue(pos, s_r, s_cT):
@@ -651,14 +708,9 @@ def _ensemble_impl(pos, mass, *, softening, tile, interpret, split_w,
     flat, pjt, v = _pack(pos_p, m_p, b * c, b * c)
 
     def run(mask_offdiag):
-        tri_call, _ = _build_calls(softening, t, c, interpret, split_w,
+        call = _build_tri_ensemble(softening, t, c, b, interpret, split_w,
                                    mask_offdiag)
-        tri_body, _ = _make_scan_bodies(tri_call, None, c)
-        carry = (jnp.zeros((b * c, 8), jnp.float32),
-                 jnp.zeros((8, b * c), jnp.float32), flat, pjt, v)
-        offs = jnp.arange(b, dtype=jnp.int32) * c
-        carry, _ = jax.lax.scan(tri_body, carry, offs)
-        return carry[0], carry[1]
+        return call(flat, pjt, v, v)
 
     if coincident == "auto":
         rows, colsT = jax.lax.cond(

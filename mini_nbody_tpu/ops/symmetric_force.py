@@ -105,7 +105,7 @@ def _pair_block(pi, pjt, softening, fast, masses):
 
 
 def _tri_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
-                fast, nb, masses):
+                fast, nb, masses, axis_off=0):
     """Self-chunk diagonal-band step: block (i, (i+d) mod nb) at grid (i, d).
 
     i is the OUTER grid dim so the (tile,3) rows block accumulates over
@@ -114,9 +114,12 @@ def _tri_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
     not (C,3) because VMEM lane-pads the minor dim to 128 (a (C,3) buffer
     would materialize as C x 128 lanes = 64 MB at C=131072; (3,C) tiles to
     4 sublanes = 2 MB).
+
+    axis_off=1 runs the same body under the batched-ensemble grid
+    (system, i, d) — see sym_mxu_force._tri_kernel.
     """
-    i = pl.program_id(0)
-    d = pl.program_id(1)
+    i = pl.program_id(axis_off)
+    d = pl.program_id(axis_off + 1)
     jg = jax.lax.rem(i + d, jnp.int32(nb))
 
     @pl.when(jnp.logical_and(d == 0, i == 0))
@@ -173,10 +176,10 @@ def _cross_kernel(pi_ref, pjt_ref, rows_ref, colsT_ref, *, softening, tile,
     colsT_ref[:, cj] = colsT_ref[:, cj] - g
 
 
-def _common_params(pairs, rows_bytes, cols_bytes):
+def _common_params(pairs, rows_bytes, cols_bytes, ndims=2):
     return dict(
         compiler_params=_CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * ndims,
         ),
         cost_estimate=pl.CostEstimate(
             flops=22 * pairs,
@@ -400,14 +403,45 @@ def _ensemble_impl(pos, mass, *, softening, tile, interpret):
                       ((0, 0), (0, c - n))).reshape(b * c)
     flat = _pack(pos_p, m_p, b * c, b * c)
     k = flat.shape[1]
-    pjt = flat.T
-    tri_call, _ = _build_calls(softening, t, c, k, interpret)
-    tri_body, _ = _make_scan_bodies(tri_call, None, c, k)
-    carry = (jnp.zeros((b * c, 3), jnp.float32),
-             jnp.zeros((3, b * c), jnp.float32), flat, pjt)
-    offs = jnp.arange(b, dtype=jnp.int32) * c
-    carry, _ = jax.lax.scan(tri_body, carry, offs)
-    return (carry[0] + carry[1].T).reshape(b, c, 3)[:, :n]
+    rows, colsT = _build_tri_ensemble(softening, t, c, k, b,
+                                      interpret)(flat, flat.T)
+    return (rows + colsT.T).reshape(b, c, 3)[:, :n]
+
+
+def _build_tri_ensemble(softening, tile, c, k, b, interpret):
+    """ONE pallas_call for B independent systems: the tri kernel under a
+    leading system axis (rationale + HBM-traffic numbers:
+    sym_mxu_force._build_tri_ensemble, the bf16-class twin)."""
+    nb = c // tile
+    nd = nb // 2 + 1
+    fast = fast_rsqrt_cube(softening)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_tri_kernel, softening=float(softening), tile=tile,
+                          fast=fast, nb=nb, masses=k == 4, axis_off=1),
+        grid=(b, nb, nd),
+        in_specs=[
+            pl.BlockSpec((tile, k), lambda s, i, d: (s * nb + i, 0),
+                         memory_space=vm),
+            pl.BlockSpec(
+                (k, tile),
+                lambda s, i, d: (
+                    0, s * nb + jax.lax.rem(i + d, jnp.int32(nb))),
+                memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 3), lambda s, i, d: (s * nb + i, 0),
+                         memory_space=vm),
+            pl.BlockSpec((3, c), lambda s, i, d: (0, s), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * c, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, b * c), jnp.float32),
+        ],
+        interpret=interpret,
+        **_common_params(b * nb * nd * tile * tile, b * c * 24, b * c * 24,
+                         ndims=3),
+    )
 
 
 def body_force_symmetric_segmented(

@@ -571,6 +571,16 @@ def _ensemble_forcefn(cfg: SimConfig, mesh):
     compile helper), which the r3e batched-vs-looped probe mis-read as a
     75x kernel slowdown."""
     interp = cfg.resolve_interpret()
+    # 'auto' inside the fused step scan would pay the vmapped duplicate
+    # scan + cond EVERY step (~725 us/step at B=64, N=1024 — over 4x the
+    # masked force itself; benchmarks/probe_ensemble_perf.py). Resolve it
+    # to 'masked' here, exactly like the resident kernel's 'auto'
+    # (duplicates can form at ANY step of a fused trajectory, so masked is
+    # the only always-correct per-trajectory choice) — bitwise-neutral
+    # when no duplicates ever occur, because the maskless kernels are
+    # bitwise-identical to masked then (ops/sym_mxu_force.any_coincident).
+    # 'fast' stays an explicit opt-in.
+    coin = "masked" if cfg.coincident == "auto" else cfg.coincident
     if cfg.effective_backend() == "sym_mxu":
         from mini_nbody_tpu.ops.sym_mxu_force import (
             body_force_sym_mxu_ensemble)
@@ -579,7 +589,7 @@ def _ensemble_forcefn(cfg: SimConfig, mesh):
             return body_force_sym_mxu_ensemble(
                 p, m, softening=cfg.softening, tile=cfg.sym_tile,
                 interpret=interp, split_w=cfg.split_w,
-                coincident=cfg.coincident)
+                coincident=coin)
     else:
         from mini_nbody_tpu.ops.symmetric_force import (
             body_force_symmetric_ensemble)

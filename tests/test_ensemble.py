@@ -143,7 +143,8 @@ class TestDifferentiableEnsemble:
 
         ss, st = _systems(masses, key0=40)
         cfg = SimConfig(n=N, backend=backend, sym_tile=TILE,
-                        use_masses=masses, interpret=True, softening=1e-2)
+                        sym_bwd_tile=TILE, use_masses=masses,
+                        interpret=INTERP, softening=1e-2)
         force = make_differentiable_ensemble_force(cfg)
 
         def loss(p):
@@ -159,6 +160,11 @@ class TestDifferentiableEnsemble:
 
         masses = True
         ss, st, g, cfg = self._grad(backend, masses)
+        # sym's backward is fp32-exact class everywhere; sym_mxu's is the
+        # bf16-operand MXU-hybrid backward, so on the real chip it gets the
+        # bf16-class tolerances (same split as tests/test_vjp_mxu.py:19).
+        rtol, atol_scale = ((1e-3, 1e-4) if INTERP or backend == "sym"
+                            else (2e-2, 5e-3))
         for i in range(B):
             def loss_i(p):
                 f = body_force_jnp(p, p, ss[i].mass, softening=1e-2)
@@ -166,8 +172,8 @@ class TestDifferentiableEnsemble:
 
             ref = np.asarray(jax.grad(loss_i)(ss[i].pos))
             scale = max(np.abs(ref).max(), 1.0)
-            np.testing.assert_allclose(g[i], ref, rtol=1e-3,
-                                       atol=1e-4 * scale)
+            np.testing.assert_allclose(g[i], ref, rtol=rtol,
+                                       atol=atol_scale * scale)
 
     def test_no_cross_system_leakage(self):
         from mini_nbody_tpu.ops.autodiff import (
