@@ -45,6 +45,33 @@ def test_force_bitwise_vs_standalone(masses):
         np.testing.assert_array_equal(f[i], np.asarray(ref))
 
 
+@pytest.mark.parametrize("n,tile", [(192, 64), (300, 64), (128, 128)])
+def test_force_bitwise_band_parities(n, tile):
+    """The batched-grid kernel (one pallas_call, leading system axis) must
+    stay bitwise across band-count parities: nb = 3 (odd), 5 (odd, ragged
+    tail), 1 (single diagonal block) — the even-nb half-band gating and
+    the (i == 0, d == 0) per-system colsT re-init have no standalone
+    analog to catch them."""
+    from mini_nbody_tpu.ops.symmetric_force import (
+        body_force_symmetric, body_force_symmetric_ensemble)
+
+    c = round_up(n, tile)
+    ss = [init.plummer(jax.random.key(7 * i + 1), n) for i in range(3)]
+    pos = jnp.stack([s.pos for s in ss])
+    mass = jnp.stack([s.mass for s in ss])
+    f = np.asarray(body_force_sym_mxu_ensemble(pos, mass, tile=tile,
+                                               interpret=INTERP))
+    g = np.asarray(body_force_symmetric_ensemble(pos, mass, tile=tile,
+                                                 interpret=INTERP))
+    for i in range(3):
+        rf = body_force_sym_mxu(ss[i].pos, ss[i].mass, tile=tile, chunk=c,
+                                interpret=INTERP)
+        rg = body_force_symmetric(ss[i].pos, ss[i].mass, tile=tile, chunk=c,
+                                  interpret=INTERP)
+        np.testing.assert_array_equal(f[i], np.asarray(rf))
+        np.testing.assert_array_equal(g[i], np.asarray(rg))
+
+
 @pytest.mark.parametrize("integrator", ["euler", "leapfrog", "yoshida4"])
 def test_trajectory_bitwise_vs_per_system(integrator):
     ss, st = _systems(masses=True)
