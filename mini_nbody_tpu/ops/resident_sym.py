@@ -188,9 +188,12 @@ def _pad8(rows3):
 
 
 def _force_block(st_ref, rows_ref, cols_ref, pw_ref, i, d,
-                 *, nb, softening, masses, mxu, fast, mask=True):
+                 *, nb, softening, masses, mxu, fast, mask=True, base=0):
+    """base: first block of this system in the stacked state buffer (0 for
+    the single-system kernel; s*nb under the batched-ensemble grid —
+    i/d/jg are system-local, all buffer rows shift by base)."""
     jg = jax.lax.rem(i + d, jnp.int32(nb))
-    bj = _blk(st_ref, jg)  # (8, T)
+    bj = _blk(st_ref, base + jg)  # (8, T)
 
     pi = pw_ref[:]  # (T, 8) columns of the i-tile (built in _kernel at d==0)
     dx = bj[0:1, :] - pi[:, 0:1]
@@ -213,8 +216,8 @@ def _force_block(st_ref, rows_ref, cols_ref, pw_ref, i, d,
         # give w = 0 exactly via r2^3 overflow (fast) or underflow).
         w = jnp.where(d2 == 0.0, jnp.asarray(0.0, w.dtype), w)
 
-    ri = pl.ds(i * 8, 8)
-    rj = pl.ds(jg * 8, 8)
+    ri = pl.ds((base + i) * 8, 8)
+    rj = pl.ds((base + jg) * 8, 8)
     if mxu:
         # Row sums transposed, (8,T_i) = vjT . W^T, straight into the
         # block-major accumulator. (The standard-orientation alternative —
@@ -226,7 +229,7 @@ def _force_block(st_ref, rows_ref, cols_ref, pw_ref, i, d,
 
         @pl.when(d > 0)  # diagonal block: rows already cover both orders
         def _reactions():
-            sct = _mm(_mxu_operand(_blk(st_ref, i)), w, ((1,), (0,)))
+            sct = _mm(_mxu_operand(_blk(st_ref, base + i)), w, ((1,), (0,)))
             cols_ref[rj, :] = cols_ref[rj, :] + sct
     else:
         wr = w * bj[6:7, :] if masses else w  # m_j scales force on i
@@ -270,13 +273,26 @@ def _integrate_block(st_ref, rows_ref, cols_ref, b, *, dt, mxu):
 
 def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
             tile, nb, nd, dt, softening, masses, mxu, fast,
-            mask_offdiag=True):
+            mask_offdiag=True, batched=False):
     del in_ref  # aliased to st_ref: the initial state IS the buffer
-    s = pl.program_id(0)
-    i = pl.program_id(1)
-    d = pl.program_id(2)
+    if batched:
+        # Ensemble grid (steps, B, nb + n_int, nd): system sy owns blocks
+        # sy*nb .. sy*nb + nb - 1 of the stacked state/accumulator buffers;
+        # i/d are system-local. Accumulators zero ONCE per step (the
+        # systems' block rows are disjoint).
+        sy = pl.program_id(1)
+        i = pl.program_id(2)
+        d = pl.program_id(3)
+        base = sy * nb
+        zero_now = jnp.logical_and(sy == 0,
+                                   jnp.logical_and(i == 0, d == 0))
+    else:
+        i = pl.program_id(1)
+        d = pl.program_id(2)
+        base = 0
+        zero_now = jnp.logical_and(i == 0, d == 0)
 
-    @pl.when(jnp.logical_and(i == 0, d == 0))
+    @pl.when(zero_now)
     def _zero_accumulators():
         rows_ref[:] = jnp.zeros_like(rows_ref)
         cols_ref[:] = jnp.zeros_like(cols_ref)
@@ -290,7 +306,7 @@ def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
         # (An MXU-identity transpose at Precision.HIGHEST costs ~17 us a
         # call — measured — and was most of the per-step overhead at small
         # N; jnp.swapaxes lowers to the native transpose and is exact.)
-        pw_ref[:] = jnp.swapaxes(_blk(st_ref, i), 0, 1)
+        pw_ref[:] = jnp.swapaxes(_blk(st_ref, base + i), 0, 1)
 
     # Band-active mask: on even nb the antipodal band d = nb/2 pairs each
     # block couple twice; keep the lower-index visit
@@ -303,7 +319,7 @@ def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
         def _force():
             _force_block(st_ref, rows_ref, cols_ref, pw_ref,
                          i, d, nb=nb, softening=softening,
-                         masses=masses, mxu=mxu, fast=fast)
+                         masses=masses, mxu=mxu, fast=fast, base=base)
     else:
         # coincident='fast': the d == 0 band (self pairs) keeps the mask,
         # off-diagonal bands run the ~2-op-cheaper maskless body
@@ -313,19 +329,21 @@ def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
         def _force_diag():
             _force_block(st_ref, rows_ref, cols_ref, pw_ref,
                          i, d, nb=nb, softening=softening,
-                         masses=masses, mxu=mxu, fast=fast)
+                         masses=masses, mxu=mxu, fast=fast, base=base)
 
         @pl.when(jnp.logical_and(force_on, d > 0))
         def _force_off():
             _force_block(st_ref, rows_ref, cols_ref, pw_ref,
                          i, d, nb=nb, softening=softening,
-                         masses=masses, mxu=mxu, fast=fast, mask=False)
+                         masses=masses, mxu=mxu, fast=fast, mask=False,
+                         base=base)
 
     blk = (i - nb) * nd + d
 
     @pl.when(jnp.logical_and(i >= nb, blk < nb))
     def _integrate():
-        _integrate_block(st_ref, rows_ref, cols_ref, blk, dt=dt, mxu=mxu)
+        _integrate_block(st_ref, rows_ref, cols_ref, base + blk, dt=dt,
+                         mxu=mxu)
 
 
 @functools.partial(
@@ -428,6 +446,199 @@ def simulate_resident_sym(
 
     final = out.reshape(nb, 8, tile).transpose(1, 0, 2).reshape(8, np_)
     return final[0:3, :n].T, final[3:6, :n].T
+
+
+def auto_tile_ensemble(b: int, n: int, mxu: bool) -> int:
+    """auto_tile for B batched systems: per-system padded pair work scores
+    the candidates (identical for every B), but VMEM admission bounds the
+    TOTAL stacked block count b * round_up(n, t)/t (the state/accumulator
+    buffers hold all B systems)."""
+    best = None
+    for t, max_nb in _MAX_NB[mxu].items():
+        np_ = round_up(n, t)
+        if b * (np_ // t) > max_nb:
+            continue
+        score = float(np_) * np_ / _TILE_RATE[mxu][t]
+        key = (score, -t)
+        if best is None or key < best[0]:
+            best = (key, t)
+    if best is None:
+        raise ValueError(
+            f"no VMEM-admissible resident tile for B={b}, N={n} "
+            f"(mxu={mxu}); use the streamed ensemble (sim.simulate_ensemble "
+            "routes there automatically)")
+    return best[1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "dt", "softening", "mxu", "tile", "interpret",
+                     "coincident"),
+)
+def simulate_resident_sym_ensemble(
+    pos,
+    vel,
+    mass=None,
+    *,
+    steps: int,
+    dt: float,
+    softening: float = SOFTENING,
+    mxu: bool = False,
+    tile: int | None = None,
+    interpret: bool = False,
+    coincident: str = "auto",
+):
+    """B independent systems x `steps` Euler steps in ONE kernel launch.
+
+    pos/vel are (B, N, 3), mass (B, N) or None; returns (pos, vel) after
+    the final step, each (B, N, 3). The batched twin of
+    simulate_resident_sym: the grid gains a leading system axis
+    (steps, B, nb + n_int, nd), every system owns nb consecutive blocks of
+    the stacked (8*B*nb, tile) state/accumulator buffers, and the SAME
+    kernel body runs with all buffer rows offset by the system's block
+    base — so each system's trajectory is bitwise equal to its standalone
+    simulate_resident_sym run at the same tile (tested). The streamed
+    ensemble (sim.simulate_ensemble) pays per-step epilogue + integrator
+    HBM traffic over the whole (B, N, 3) state; here state stays in VMEM
+    for the entire trajectory.
+
+    VMEM bounds the TOTAL stacked size: B * round_up(N, tile) blocks must
+    satisfy _MAX_NB (auto_tile_ensemble raises otherwise).
+
+    coincident: same trajectory-wide rule as simulate_resident_sym —
+    'auto' == 'masked' (duplicates can form at any step), only 'fast'
+    unlocks maskless off-diagonal bands.
+    """
+    check_coincident(coincident)
+    b, n = pos.shape[0], pos.shape[1]
+    if tile is None:
+        tile = auto_tile_ensemble(b, n, mxu)
+    tile = min(tile, round_up(n, 8))
+    if not interpret:
+        tile = round_up(tile, 128)
+    np_ = round_up(n, tile)
+    nb = np_ // tile
+    if b * np_ > RESIDENT_SYM_MAX_N:
+        raise ValueError(
+            f"resident ensemble holds all B systems in VMEM: B*Np = "
+            f"{b * np_} > {RESIDENT_SYM_MAX_N}; use sim.simulate_ensemble's "
+            "streamed path")
+    nd = nb // 2 + 1
+    n_int = -(-nb // nd)
+    masses = mass is not None
+
+    pad = np_ - n
+    pos = pos.astype(jnp.float32)
+    vel = vel.astype(jnp.float32)
+    if pad:
+        # Per-system FAR tails, inert exactly as in simulate_resident_sym.
+        pos = jnp.pad(pos, ((0, 0), (0, pad), (0, 0)), constant_values=FAR)
+        vel = jnp.pad(vel, ((0, 0), (0, pad), (0, 0)))
+    m = (jnp.pad(mass.astype(jnp.float32), ((0, 0), (0, pad))) if masses
+         else jnp.ones((b, np_), jnp.float32))
+    # (B, 8, Np) component rows -> stacked sublane-major blocks
+    # (8*B*nb, tile): system s's blocks at rows 8*(s*nb) .. 8*(s*nb+nb)-1.
+    wide = jnp.concatenate(
+        [jnp.swapaxes(pos, 1, 2), jnp.swapaxes(vel, 1, 2), m[:, None, :],
+         jnp.zeros((b, 1, np_), jnp.float32)], axis=1)
+    wide = (wide.reshape(b, 8, nb, tile).transpose(0, 2, 1, 3)
+            .reshape(8 * b * nb, tile))
+
+    fast = fast_rsqrt_cube(softening)
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        functools.partial(_kernel, tile=tile, nb=nb, nd=nd, dt=float(dt),
+                          softening=float(softening), masses=masses,
+                          mxu=mxu, fast=fast,
+                          mask_offdiag=coincident != "fast", batched=True),
+        grid=(steps, b, nb + n_int, nd),
+        in_specs=[pl.BlockSpec((8 * b * nb, tile),
+                               lambda s, sy, i, d: (0, 0),
+                               memory_space=vm)],
+        out_specs=pl.BlockSpec((8 * b * nb, tile),
+                               lambda s, sy, i, d: (0, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((8 * b * nb, tile), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8 * b * nb, tile), jnp.float32),  # row sums
+            pltpu.VMEM((8 * b * nb, tile), jnp.float32),  # reactions
+            pltpu.VMEM((tile, 8), jnp.float32),           # i-tile columns
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=_CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(19 * steps * b * np_ * np_) // 2,
+            bytes_accessed=b * np_ * 64,
+            transcendentals=(steps * b * np_ * np_) // 2,
+        ),
+        interpret=interpret,
+    )(wide)
+
+    final = (out.reshape(b, nb, 8, tile).transpose(0, 2, 1, 3)
+             .reshape(b, 8, np_))
+    return (jnp.swapaxes(final[:, 0:3, :n], 1, 2),
+            jnp.swapaxes(final[:, 3:6, :n], 1, 2))
+
+
+def simulate_resident_sym_ensemble_leapfrog(
+    pos,
+    vel,
+    mass=None,
+    *,
+    steps: int,
+    dt: float,
+    softening: float = SOFTENING,
+    mxu: bool = False,
+    tile: int | None = None,
+    interpret: bool = False,
+    coincident: str = "auto",
+):
+    """KDK leapfrog on the batched-resident kernel: merged half-kicks make
+    leapfrog the Euler update on staggered velocities (module docstring);
+    the end kicks run one streamed ENSEMBLE force pass each — bitwise the
+    per-system force, so each system still matches its standalone
+    simulate_resident_sym_leapfrog run."""
+    if steps < 1:
+        raise ValueError(
+            "simulate_resident_sym_ensemble_leapfrog needs steps >= 1")
+    half = 0.5 * dt
+    force = _class_force_ensemble(mxu, softening, interpret, coincident)
+    a0 = force(pos, mass)
+    vh = vel + half * a0
+    pos = pos + dt * vh
+    if steps > 1:
+        pos, vh = simulate_resident_sym_ensemble(
+            pos, vh, mass, steps=steps - 1, dt=dt, softening=softening,
+            mxu=mxu, tile=tile, interpret=interpret, coincident=coincident)
+    a_end = force(pos, mass)
+    return pos, vh + half * a_end
+
+
+def _class_force_ensemble(mxu: bool, softening: float, interpret: bool,
+                          coincident: str = "auto"):
+    """Streamed ensemble force of the same precision class for the
+    leapfrog end kicks. NOTE the end kicks pad each system to the
+    STREAMED kernels' chunk geometry — per-system results stay bitwise
+    equal to standalone leapfrog runs whose end kicks use chunk =
+    round_up(n, tile) (the ensemble drivers' layout)."""
+    if mxu:
+        from mini_nbody_tpu.ops.sym_mxu_force import (
+            body_force_sym_mxu_ensemble)
+
+        def force(pos, mass):
+            return body_force_sym_mxu_ensemble(
+                pos, mass, softening=softening, interpret=interpret,
+                coincident=coincident)
+    else:
+        from mini_nbody_tpu.ops.symmetric_force import (
+            body_force_symmetric_ensemble)
+
+        def force(pos, mass):
+            return body_force_symmetric_ensemble(
+                pos, mass, softening=softening, interpret=interpret)
+    return force
 
 
 def simulate_resident_sym_leapfrog(

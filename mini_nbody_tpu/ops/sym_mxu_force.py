@@ -679,9 +679,15 @@ def body_force_sym_mxu_ensemble(
 def ensemble_tiling(n, tile, interpret):
     """(tile, c) the ensemble driver resolves: one chunk per system —
     _resolve_tiling with chunk = n, the single source of the alignment
-    rules (also consumed by sim.simulate_ensemble's watchdog pacing)."""
-    t, c, _, _ = _resolve_tiling(n, tile if tile is not None else 1024, n,
-                                 interpret)
+    rules (also consumed by sim.simulate_ensemble's watchdog pacing).
+    Default tile minimizes padded active-slot work instead of the
+    streamed kernels' flat 1024 (per-system padding is quadratic here —
+    rationale and measurements: symmetric_force.ensemble_auto_tile)."""
+    if tile is None:
+        from mini_nbody_tpu.ops.symmetric_force import ensemble_auto_tile
+
+        tile = ensemble_auto_tile(n, 1024, interpret)
+    t, c, _, _ = _resolve_tiling(n, tile, n, interpret)
     return t, c
 
 

@@ -377,13 +377,62 @@ def body_force_symmetric_ensemble(
                           interpret=interpret)
 
 
+#: Relative per-slot body efficiency per tile for the default ensemble
+#: tile score (normalized from the measured streamed large-N rates —
+#: only relative magnitudes matter).
+_ENS_TILE_EFF = {1024: 1.0, 896: 0.95, 768: 0.92, 640: 0.86, 512: 0.78,
+                 384: 0.65, 256: 0.50, 128: 0.27}
+
+
+def ensemble_auto_tile(n, cap, interpret):
+    """Default ensemble tile: minimize active-slot work / body efficiency.
+
+    A fixed big tile pads each system's chunk c = round_up(n, t)
+    QUADRATICALLY (the streamed drivers only ever pad by <= one tile per
+    131k chunk, so the flat 1024 default was fine there): fp32 mass mode
+    at n=1024 resolved t=896 -> c=1792, 3.06x the pair work, measured
+    21.6 vs the fixed kernel's 49.2 G pairs/s at B=64
+    (benchmarks/probe_resident_ensemble.py). Score per candidate =
+    active_slots(nb) * t^2 / eff[t], where active_slots counts the
+    diagonal-band grid's non-gated (T,T) blocks (even-nb half-bands are
+    pl.when-gated and ~free; an nb=1 system pays its full t^2 ordered
+    block). A whole-array candidate t = round_up(n, 8) (capped) keeps
+    small systems on EXACTLY the standalone single-tile geometry —
+    bitwise-stable vs standalone calls."""
+    def score(t):
+        c = round_up(n, t)
+        nb = c // t
+        nd = nb // 2 + 1
+        active = nb * nd - (nb // 2 if nb % 2 == 0 else 0)
+        # interpolate efficiency for off-table whole-array tiles
+        eff = _ENS_TILE_EFF.get(t)
+        if eff is None:
+            ts = sorted(_ENS_TILE_EFF)
+            lo = max((x for x in ts if x <= t), default=ts[0])
+            hi = min((x for x in ts if x >= t), default=ts[-1])
+            eff = (_ENS_TILE_EFF[lo] if lo == hi else
+                   _ENS_TILE_EFF[lo] + (_ENS_TILE_EFF[hi]
+                                        - _ENS_TILE_EFF[lo])
+                   * (t - lo) / (hi - lo))
+        return float(active) * t * t / eff
+
+    whole = min(cap, round_up(n, 8))
+    if not interpret and whole < round_up(n, 8):
+        whole = round_up(whole, 128)
+    cands = {whole}
+    cands.update(t for t in _ENS_TILE_EFF if t <= min(cap, round_up(n, 8)))
+    return min(cands, key=lambda t: (score(t), -t))
+
+
 def ensemble_tiling(n, tile, masses, interpret):
     """(tile, c) the fp32 ensemble driver resolves: one chunk per system —
     _resolve_tiling with chunk = n (keeps the mass-mode 896 VMEM cap and
     alignment rules in ONE place; also consumed by sim.simulate_ensemble's
-    watchdog pacing)."""
-    t, c, _, _ = _resolve_tiling(n, tile if tile is not None else 1024, n,
-                                 masses, interpret)
+    watchdog pacing). Default tile is the padding-aware score
+    (ensemble_auto_tile), not the streamed kernels' flat 1024."""
+    if tile is None:
+        tile = ensemble_auto_tile(n, 896 if masses else 1024, interpret)
+    t, c, _, _ = _resolve_tiling(n, tile, n, masses, interpret)
     return t, c
 
 

@@ -196,6 +196,21 @@ def simulate(
 #: path.
 RESIDENT_AUTO_MAX_N = {"sym": 512, "sym_mxu": 4096}
 
+#: Auto-routing per-system N cap for the BATCHED resident ensemble vs the
+#: streamed ensemble drivers, measured on v5e with amortized single-
+#: dispatch timing (benchmarks/probe_resident_ensemble.py; the padding-
+#: aware default tile fix first — the pre-fix streamed fp32 numbers were
+#: dominated by quadratic per-system tile padding). Resident/streamed
+#: us-per-step speedup at (B, N): mxu — (256, 256): 1.00, (64, 1024):
+#: 1.10, (32, 2048): 1.00, (16, 4096): 0.97, (8, 8192): 0.95; fp32 —
+#: 0.84-0.97 everywhere (the VPU body reads state via dynamic sublane
+#: slices each band, which the streamed kernel's prebuilt operands
+#: avoid). So: mxu auto-routes N <= 1024 (win or parity; parity still
+#: saves the per-segment dispatch), fp32 never auto-routes;
+#: cfg.resident=True forces the fused kernel up to its VMEM admission
+#: (useful for dispatch-latency-bound many-step small ensembles).
+RESIDENT_ENSEMBLE_AUTO_MAX_N = {"sym_mxu": 1024}
+
 
 def _route_resident(cfg: SimConfig, steps: int) -> bool:
     """Whether simulate() runs the whole trajectory in the resident kernel.
@@ -446,6 +461,9 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None,
     """
     steps = cfg.steps if steps is None else steps
     state, seg = _ensemble_prepare(cfg, state, mesh)
+    if mesh is None and _route_resident_ensemble(cfg, steps,
+                                                 state.pos.shape[0]):
+        return _simulate_resident_ensemble(cfg, state, steps)
     st, acc = state, _ensemble_initial_acc(cfg, mesh, state)
     done = 0
     while done < steps:
@@ -455,6 +473,93 @@ def simulate_ensemble(cfg: SimConfig, state: BodyState, steps: int = None,
         if done < steps:
             _sync(st.pos)
     return st
+
+
+def _resident_ensemble_admissible(cfg: SimConfig, b: int) -> bool:
+    """Whether the batched-resident kernel can hold all B systems in VMEM
+    at cfg's tile (ops/resident_sym.auto_tile_ensemble admission)."""
+    from mini_nbody_tpu.ops.resident_sym import (
+        RESIDENT_SYM_MAX_N, auto_tile_ensemble)
+    from mini_nbody_tpu.utils.config import round_up
+
+    mxu = cfg.effective_backend() == "sym_mxu"
+    try:
+        tile = cfg.resident_tile or auto_tile_ensemble(b, cfg.n, mxu)
+    except ValueError:
+        return False
+    return b * round_up(cfg.n, tile) <= RESIDENT_SYM_MAX_N
+
+
+def _route_resident_ensemble(cfg: SimConfig, steps: int, b: int) -> bool:
+    """Whether simulate_ensemble fuses the whole batched trajectory into
+    the resident-ensemble kernel (ops/resident_sym.py). Same class-
+    preserving rules as _route_resident; the auto regime additionally
+    requires VMEM admission for ALL B systems."""
+    if cfg.fused_integrate or steps < 1:
+        return False
+    if cfg.integrator not in ("euler", "leapfrog"):
+        return False
+    if cfg.resident is not None:
+        return cfg.resident and _resident_ensemble_admissible(cfg, b)
+    if cfg.split_w:
+        return False
+    import jax
+
+    return (jax.default_backend() == "tpu" and steps >= 2
+            and cfg.n <= RESIDENT_ENSEMBLE_AUTO_MAX_N.get(
+                cfg.effective_backend(), 0)
+            and _resident_ensemble_admissible(cfg, b))
+
+
+def _simulate_resident_ensemble(cfg: SimConfig, state: BodyState,
+                                steps: int) -> BodyState:
+    """Whole-trajectory batched-resident run: B systems x steps in one
+    kernel launch per watchdog segment (ops/resident_sym.py's batched
+    grid); leapfrog = the same kernel on half-kick-staggered velocities
+    with one streamed ensemble force pass at each end."""
+    from mini_nbody_tpu.ops.resident_sym import (
+        _class_force_ensemble, auto_tile_ensemble,
+        simulate_resident_sym_ensemble)
+
+    interp = cfg.resolve_interpret()
+    mxu = cfg.effective_backend() == "sym_mxu"
+    b = state.pos.shape[0]
+    mass = state.mass if cfg.use_masses else None
+    dt = float(cfg.dt)
+    tile = cfg.resident_tile or auto_tile_ensemble(b, cfg.n, mxu)
+    # Watchdog pacing: B x per-system pair work plus the slot-overhead
+    # envelope (the same 2 us/slot bound as _simulate_resident).
+    nb = -(-cfg.n // tile)
+    nd = nb // 2 + 1
+    slots = b * ((nb + -(-nb // nd)) * nd)
+    per_step = (b * float(cfg.n) ** 2 / (_pacing_rate(cfg) * 1e9)
+                + 2e-6 * slots)
+    seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / per_step))
+
+    pos, vh = state.pos, state.vel
+    if cfg.integrator == "leapfrog":
+        force = _class_force_ensemble(mxu, float(cfg.softening), interp,
+                                      cfg.coincident)
+        a0 = force(pos, mass)
+        vh = vh + (0.5 * dt) * a0
+        pos = pos + dt * vh
+        ksteps = steps - 1
+    else:
+        ksteps = steps
+    done = 0
+    while done < ksteps:
+        k = min(seg, ksteps - done)
+        pos, vh = simulate_resident_sym_ensemble(
+            pos, vh, mass, steps=k, dt=dt, softening=float(cfg.softening),
+            mxu=mxu, tile=tile, interpret=interp, coincident=cfg.coincident)
+        done += k
+        if done < ksteps:
+            _sync(pos)
+    if cfg.integrator == "leapfrog":
+        vel = vh + (0.5 * dt) * force(pos, mass)
+    else:
+        vel = vh
+    return BodyState(pos=pos, vel=vel, mass=state.mass)
 
 
 def _ensemble_prepare(cfg: SimConfig, state: BodyState, mesh):

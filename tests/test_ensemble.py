@@ -227,6 +227,80 @@ class TestDifferentiableEnsemble:
                 SimConfig(n=N, backend="pallas", interpret=True))
 
 
+class TestResidentEnsemble:
+    """Batched-resident kernel (ops/resident_sym.py, grid (steps, B, ...)):
+    every system's fused trajectory must be bitwise equal to its
+    standalone simulate_resident_sym run, and simulate_ensemble's
+    resident route must match simulate's resident route per system."""
+
+    @pytest.mark.parametrize("mxu", [False, True])
+    @pytest.mark.parametrize("masses", [False, True])
+    def test_bitwise_vs_standalone(self, mxu, masses):
+        from mini_nbody_tpu.ops.resident_sym import (
+            simulate_resident_sym, simulate_resident_sym_ensemble)
+
+        ss, st = _systems(masses, key0=60)
+        m = st.mass if masses else None
+        p, v = simulate_resident_sym_ensemble(
+            st.pos, st.vel, m, steps=3, dt=1e-3, mxu=mxu, tile=TILE,
+            interpret=INTERP)
+        for i in range(B):
+            pi, vi = simulate_resident_sym(
+                ss[i].pos, ss[i].vel, ss[i].mass if masses else None,
+                steps=3, dt=1e-3, mxu=mxu, tile=TILE, interpret=INTERP)
+            np.testing.assert_array_equal(np.asarray(p[i]), np.asarray(pi))
+            np.testing.assert_array_equal(np.asarray(v[i]), np.asarray(vi))
+
+    @pytest.mark.parametrize("integrator", ["euler", "leapfrog"])
+    def test_simulate_ensemble_resident_route(self, integrator):
+        from mini_nbody_tpu.sim import _route_resident_ensemble
+
+        ss, st = _systems(True, key0=70)
+        cfg = SimConfig(n=N, dt=1e-3, steps=3, backend="sym_mxu",
+                        sym_tile=TILE, resident_tile=TILE, use_masses=True,
+                        interpret=True, integrator=integrator,
+                        resident=True)
+        assert _route_resident_ensemble(cfg, 3, B)
+        out = simulate_ensemble(cfg, st)
+        for i in range(B):
+            ref = simulate(cfg, ss[i])
+            np.testing.assert_array_equal(np.asarray(out.pos[i]),
+                                          np.asarray(ref.pos))
+            np.testing.assert_array_equal(np.asarray(out.vel[i]),
+                                          np.asarray(ref.vel))
+
+    def test_routing_rules(self):
+        from mini_nbody_tpu.sim import _route_resident_ensemble
+
+        base = SimConfig(n=N, steps=4, backend="sym_mxu", interpret=True,
+                         resident=True, resident_tile=TILE)
+        assert _route_resident_ensemble(base, 4, B)
+        # resident=True with a non-fusable integrator / fused_integrate is
+        # rejected by SimConfig itself; the auto route (resident=None)
+        # must refuse them (and stays off-TPU-off anyway)
+        for bad in (dict(backend="sym_mxu", integrator="rk4"),
+                    dict(backend="sym_mxu", integrator="yoshida4"),
+                    dict(backend="pallas", fused_integrate=True)):
+            cfg = SimConfig(n=N, steps=4, interpret=True, **bad)
+            assert not _route_resident_ensemble(cfg, 4, B)
+        # resident=False pins streamed
+        assert not _route_resident_ensemble(base.replace(resident=False),
+                                            4, B)
+        # VMEM admission: B systems of the largest resident N cannot fit
+        big = SimConfig(n=131072, steps=4, backend="sym_mxu",
+                        interpret=True, resident=True)
+        assert not _route_resident_ensemble(big, 4, 64)
+
+    def test_admission_raise(self):
+        from mini_nbody_tpu.ops.resident_sym import (
+            simulate_resident_sym_ensemble)
+
+        pos = jnp.zeros((64, 131072, 3), jnp.float32)
+        with pytest.raises(ValueError, match="VMEM|admissible"):
+            simulate_resident_sym_ensemble(
+                pos, pos, steps=2, dt=1e-3, mxu=True, interpret=True)
+
+
 class TestShardedEnsemble:
     """mesh= shards the batch axis data-parallel with ZERO collectives;
     results must be bitwise equal to the unsharded run."""
