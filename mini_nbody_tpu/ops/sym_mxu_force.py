@@ -486,7 +486,7 @@ def body_force_sym_mxu(
     pos,
     mass=None,
     softening: float = SOFTENING,
-    tile: int = 1024,
+    tile: int | None = None,
     chunk: int = 131072,
     interpret: bool = False,
     split_w: bool = False,
@@ -517,6 +517,16 @@ def body_force_sym_mxu(
     """
     check_coincident(coincident)
     n = pos.shape[0]
+    if tile is None:
+        # Single-chunk N: padding-aware scored tile (c = round_up(N, tile)
+        # pads pair work quadratically — symmetric_force.padded_auto_tile);
+        # multi-chunk N keeps the measured large-N default.
+        if n <= chunk:
+            from mini_nbody_tpu.ops.symmetric_force import padded_auto_tile
+
+            tile = padded_auto_tile(n, 1024, interpret)
+        else:
+            tile = 1024
     tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
     dup = any_coincident(pos) if coincident == "auto" else None
     pos, pjt, v = _pack(pos, mass, n, np_)
@@ -682,11 +692,11 @@ def ensemble_tiling(n, tile, interpret):
     rules (also consumed by sim.simulate_ensemble's watchdog pacing).
     Default tile minimizes padded active-slot work instead of the
     streamed kernels' flat 1024 (per-system padding is quadratic here —
-    rationale and measurements: symmetric_force.ensemble_auto_tile)."""
+    rationale and measurements: symmetric_force.padded_auto_tile)."""
     if tile is None:
-        from mini_nbody_tpu.ops.symmetric_force import ensemble_auto_tile
+        from mini_nbody_tpu.ops.symmetric_force import padded_auto_tile
 
-        tile = ensemble_auto_tile(n, 1024, interpret)
+        tile = padded_auto_tile(n, 1024, interpret)
     t, c, _, _ = _resolve_tiling(n, tile, n, interpret)
     return t, c
 

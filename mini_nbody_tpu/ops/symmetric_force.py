@@ -311,13 +311,20 @@ def body_force_symmetric(
     pos,
     mass=None,
     softening: float = SOFTENING,
-    tile: int = 1024,
+    tile: int | None = None,
     chunk: int = 131072,
     interpret: bool = False,
 ):
     """All-pairs forces on pos (N,3), each pair computed once. mass=None is
     the unit-mass fast path; (N,) masses ride as a packed 4th component
     (rows weighted by m_j, reactions by m_i — module docstring).
+
+    tile=None resolves the measured large-N default (1024; mass mode caps
+    at 896) when N spans multiple chunks, and the padding-aware score
+    (padded_auto_tile) for single-chunk N — where c = round_up(N, tile)
+    pads the pair work QUADRATICALLY (mass mode at N=1024 padded
+    896 -> 1792, 3.06x; measured 2.7x force-pass speedup from the scored
+    tile, benchmarks/probe_resident_ensemble.py).
 
     N beyond one chunk is decomposed into nc equal tile-aligned chunks and
     driven by two lax.scan loops (one over self chunks, one over cross chunk
@@ -328,6 +335,11 @@ def body_force_symmetric(
     """
     n = pos.shape[0]
     masses = mass is not None
+    if tile is None:
+        tile = (padded_auto_tile(
+                    n, 896 if masses else 1024, interpret,
+                    eff=_EFF_FP32_MASS if masses else _EFF_FP32_UNIT)
+                if n <= chunk else 1024)
     tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, masses, interpret)
     pos = _pack(pos, mass, n, np_)
     k = pos.shape[1]  # 3 unit-mass, 4 packed mass
@@ -377,14 +389,23 @@ def body_force_symmetric_ensemble(
                           interpret=interpret)
 
 
-#: Relative per-slot body efficiency per tile for the default ensemble
-#: tile score (normalized from the measured streamed large-N rates —
-#: only relative magnitudes matter).
-_ENS_TILE_EFF = {1024: 1.0, 896: 0.95, 768: 0.92, 640: 0.86, 512: 0.78,
-                 384: 0.65, 256: 0.50, 128: 0.27}
+#: Relative per-slot body efficiency per tile for the padded-tile score —
+#: only relative magnitudes matter; calibrated per kernel class from
+#: on-chip rates (benchmarks/probe_resident_ensemble.py + the resident
+#: tile shmoo). The mxu hybrid's few-op body amortizes small (T,T) vector
+#: ops worst-of-the-middle; the fp32 UNIT body falls off steepest
+#: (measured streamed 1024 -> 512: 346 -> ~196 G/s); the fp32 MASS body
+#: (~31 ops/slot) is nearly flat (measured eff(512) ~= 0.9 x eff(896) at
+#: B=16/N=4096).
+_EFF_MXU = {1024: 1.0, 896: 0.95, 768: 0.92, 640: 0.86, 512: 0.78,
+            384: 0.65, 256: 0.50, 128: 0.27}
+_EFF_FP32_UNIT = {1024: 1.0, 896: 0.93, 768: 0.71, 640: 0.64, 512: 0.57,
+                  384: 0.45, 256: 0.33, 128: 0.17}
+_EFF_FP32_MASS = {896: 1.0, 768: 0.98, 640: 0.95, 512: 0.92,
+                  384: 0.80, 256: 0.65, 128: 0.40}
 
 
-def ensemble_auto_tile(n, cap, interpret):
+def padded_auto_tile(n, cap, interpret, eff=None):
     """Default ensemble tile: minimize active-slot work / body efficiency.
 
     A fixed big tile pads each system's chunk c = round_up(n, t)
@@ -398,29 +419,34 @@ def ensemble_auto_tile(n, cap, interpret):
     pl.when-gated and ~free; an nb=1 system pays its full t^2 ordered
     block). A whole-array candidate t = round_up(n, 8) (capped) keeps
     small systems on EXACTLY the standalone single-tile geometry —
-    bitwise-stable vs standalone calls."""
+    bitwise-stable vs standalone calls.
+
+    eff: per-tile relative body efficiency table (_EFF_MXU default;
+    symmetric fp32 passes _EFF_FP32_UNIT/_EFF_FP32_MASS — the curves
+    differ enough to flip choices: fp32-unit N=1024 keeps 1024, fp32-mass
+    N=1024 drops to 512)."""
+    table = eff if eff is not None else _EFF_MXU
+
     def score(t):
         c = round_up(n, t)
         nb = c // t
         nd = nb // 2 + 1
         active = nb * nd - (nb // 2 if nb % 2 == 0 else 0)
         # interpolate efficiency for off-table whole-array tiles
-        eff = _ENS_TILE_EFF.get(t)
-        if eff is None:
-            ts = sorted(_ENS_TILE_EFF)
+        e = table.get(t)
+        if e is None:
+            ts = sorted(table)
             lo = max((x for x in ts if x <= t), default=ts[0])
             hi = min((x for x in ts if x >= t), default=ts[-1])
-            eff = (_ENS_TILE_EFF[lo] if lo == hi else
-                   _ENS_TILE_EFF[lo] + (_ENS_TILE_EFF[hi]
-                                        - _ENS_TILE_EFF[lo])
-                   * (t - lo) / (hi - lo))
-        return float(active) * t * t / eff
+            e = (table[lo] if lo == hi else
+                 table[lo] + (table[hi] - table[lo]) * (t - lo) / (hi - lo))
+        return float(active) * t * t / e
 
     whole = min(cap, round_up(n, 8))
     if not interpret and whole < round_up(n, 8):
         whole = round_up(whole, 128)
     cands = {whole}
-    cands.update(t for t in _ENS_TILE_EFF if t <= min(cap, round_up(n, 8)))
+    cands.update(t for t in table if t <= min(cap, round_up(n, 8)))
     return min(cands, key=lambda t: (score(t), -t))
 
 
@@ -429,9 +455,11 @@ def ensemble_tiling(n, tile, masses, interpret):
     _resolve_tiling with chunk = n (keeps the mass-mode 896 VMEM cap and
     alignment rules in ONE place; also consumed by sim.simulate_ensemble's
     watchdog pacing). Default tile is the padding-aware score
-    (ensemble_auto_tile), not the streamed kernels' flat 1024."""
+    (padded_auto_tile), not the streamed kernels' flat 1024."""
     if tile is None:
-        tile = ensemble_auto_tile(n, 896 if masses else 1024, interpret)
+        tile = padded_auto_tile(
+            n, 896 if masses else 1024, interpret,
+            eff=_EFF_FP32_MASS if masses else _EFF_FP32_UNIT)
     t, c, _, _ = _resolve_tiling(n, tile, n, masses, interpret)
     return t, c
 
