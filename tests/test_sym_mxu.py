@@ -259,8 +259,11 @@ def test_any_coincident():
     assert bool(any_coincident(pos.at[200].set(pos[3])))
     # -0.0 and +0.0 coordinates are the SAME position (d2 == 0): the
     # detector canonicalizes before sorting so they land adjacent.
-    neg = pos.at[0].set(jnp.array([0.5, -0.0, 0.25]))
-    assert bool(any_coincident(neg.at[1].set(jnp.array([0.5, 0.0, 0.25]))))
+    # match pos.dtype: under the x64 CPU suite a default jnp.array literal
+    # is f64 and .at[].set() would scatter-cast (FutureWarning -> error).
+    neg = pos.at[0].set(jnp.array([0.5, -0.0, 0.25], pos.dtype))
+    assert bool(any_coincident(
+        neg.at[1].set(jnp.array([0.5, 0.0, 0.25], pos.dtype))))
 
 
 def test_any_coincident_conservative_guards():
@@ -273,14 +276,15 @@ def test_any_coincident_conservative_guards():
     pos = init.uniform_random(jax.random.key(1), 64).pos
     assert not bool(any_coincident(pos))
     # two DISTINCT bodies whose coordinate diff squares underflow to 0
-    tiny = pos.at[0].set(jnp.array([2.0 ** -60, 0.25, 0.5]))
-    tiny = tiny.at[1].set(jnp.array([2.0 ** -60 + 2.0 ** -80, 0.25, 0.5]))
+    tiny = pos.at[0].set(jnp.array([2.0 ** -60, 0.25, 0.5], pos.dtype))
+    tiny = tiny.at[1].set(
+        jnp.array([2.0 ** -60 + 2.0 ** -80, 0.25, 0.5], pos.dtype))
     assert bool(any_coincident(tiny))
     # a real body at the exact FAR pad sentinel would coincide with pads
-    far = pos.at[5].set(jnp.array([FAR, FAR, FAR]))
+    far = pos.at[5].set(jnp.array([FAR, FAR, FAR], pos.dtype))
     assert bool(any_coincident(far))
     # exactly-zero coordinates alone must NOT flag (common: origin bodies)
-    zc = pos.at[3].set(jnp.array([0.0, 0.25, 0.5]))
+    zc = pos.at[3].set(jnp.array([0.0, 0.25, 0.5], pos.dtype))
     assert not bool(any_coincident(zc))
 
 
