@@ -9,8 +9,13 @@ does not shrink with N. The pre-maskless table agrees: at 16k the MASKED
 family (no cond, no scan) measured 391.3 vs auto's 382.3.
 
 Stages (all on-chip, streamed path, unit-mass euler):
-  1. streamed step with coincident in {auto, masked, fast} at
-     N = 8192 / 16384 / 65536;
+  1. streamed step with coincident in {scan-auto, masked, fast} at
+     N = 4096 / 8192 / 16384 / 32768 / 65536 — 'scan-auto' bypasses the
+     r4 resolve_auto N-gate (COINCIDENT_AUTO_MIN_N patched to 0) so the
+     true duplicate-scan + lax.cond cost is visible at every N; with the
+     gate, 'auto' below the threshold IS 'masked'. This table pins
+     COINCIDENT_AUTO_MIN_N (sym_mxu_force.py): the gate should sit where
+     masked stops beating scan-auto.
   2. isolated any_coincident cost: a scanned chain of the scan's
      select-consumed result at the same N.
 
@@ -58,11 +63,22 @@ def scan_cost(n):
 
 
 if __name__ == "__main__":
-    print(json.dumps({"backend": jax.default_backend()}))
-    for n in (8192, 16384, 65536):
+    from mini_nbody_tpu.ops import sym_mxu_force as smf
+
+    print(json.dumps({"backend": jax.default_backend(),
+                      "gate": smf.COINCIDENT_AUTO_MIN_N}))
+    for n in (4096, 8192, 16384, 32768, 65536):
         rows = {}
-        for coin in ("auto", "masked", "fast"):
-            sec, g = step_rate(n, coin)
+        for coin in ("scan-auto", "masked", "fast"):
+            if coin == "scan-auto":
+                saved, smf.COINCIDENT_AUTO_MIN_N = \
+                    smf.COINCIDENT_AUTO_MIN_N, 0
+                try:
+                    sec, g = step_rate(n, "auto")
+                finally:
+                    smf.COINCIDENT_AUTO_MIN_N = saved
+            else:
+                sec, g = step_rate(n, coin)
             rows[coin] = {"s_per_step": round(sec, 8), "ginter_s": round(g, 1)}
         sc = scan_cost(n)
         print(json.dumps({"n": n, **rows,

@@ -206,6 +206,10 @@ def _body_force_mxu_impl(
 ):
     ni_n, nj_n = pos_i.shape[0], pos_j.shape[0]
     unit_mass = mass_j is None
+    if square:
+        from mini_nbody_tpu.ops.sym_mxu_force import resolve_auto
+
+        coincident = resolve_auto(coincident, ni_n)
     if coincident == "auto" and square:
         from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
 

@@ -143,6 +143,28 @@ def any_coincident(pos):
 #: helper on every segmented force call.
 _any_coincident_jit = jax.jit(any_coincident)
 
+#: Below this many bodies (per system) 'auto' routes STRAIGHT to the
+#: always-correct masked kernels without the duplicate scan: the scan +
+#: lax.cond run once per force call, so in a stepped loop their fixed cost
+#: is paid every step, and under ~200 us/step it outweighs the maskless
+#: body's ~12.8% saving (r3f shmoo vs the r3b masked table at N=1M scale:
+#: 8k -15%, 16k -2%; maskless first wins at 65k +7-10% — the r4 on-chip
+#: probe benchmarks/probe_auto_cond.py stage 1 pins the crossover between
+#: 16384 and 65536). Bitwise-neutral by construction: 'auto' is defined
+#: as producing the masked result for every input.
+COINCIDENT_AUTO_MIN_N = 32768
+
+
+def resolve_auto(coincident: str, n: int) -> str:
+    """N-aware 'auto' (static: n and the mode are trace-time constants):
+    below COINCIDENT_AUTO_MIN_N the duplicate scan cannot pay for itself,
+    so 'auto' degrades to 'masked' — same outputs (bitwise), strictly
+    less per-call overhead. Callers pass the PER-SYSTEM body count (the
+    scan and the pair work scale with the same n)."""
+    if coincident == "auto" and n < COINCIDENT_AUTO_MIN_N:
+        return "masked"
+    return coincident
+
 
 def _mm(a, b, dims):
     return jax.lax.dot_general(
@@ -517,6 +539,7 @@ def body_force_sym_mxu(
     """
     check_coincident(coincident)
     n = pos.shape[0]
+    coincident = resolve_auto(coincident, n)
     if tile is None:
         # Single-chunk N: padding-aware scored tile (c = round_up(N, tile)
         # pads pair work quadratically — symmetric_force.padded_auto_tile);
@@ -585,6 +608,7 @@ def body_force_pair_mxu(
         raise ValueError("body_force_pair_mxu needs both masses or neither")
     check_coincident(coincident)
     na, nb_n = pos_a.shape[0], pos_b.shape[0]
+    coincident = resolve_auto(coincident, na + nb_n)
     t = min(tile, round_up(na, 8), round_up(nb_n, 8))
     if not interpret:
         # 128-align always (_resolve_tiling rationale).
@@ -710,6 +734,7 @@ def _ensemble_impl(pos, mass, *, softening, tile, interpret, split_w,
                    coincident):
     b, n = pos.shape[0], pos.shape[1]
     t, c = ensemble_tiling(n, tile, interpret)
+    coincident = resolve_auto(coincident, n)
     if coincident == "auto":
         dup = jnp.any(jax.vmap(any_coincident)(pos))
     # Per-system FAR pads: inert exactly as in the single-system kernel
@@ -758,6 +783,7 @@ def body_force_sym_mxu_segmented(
     from mini_nbody_tpu.ops import hostseg
 
     check_coincident(coincident)
+    coincident = resolve_auto(coincident, pos.shape[0])
     if coincident == "auto":
         import numpy as _np
 
