@@ -267,13 +267,16 @@ def make_differentiable_force(cfg, mass_grad: bool = False):
 def make_differentiable_ensemble_force(cfg):
     """Differentiable ``force(pos, mass=None) -> (B, N, 3)`` over the
     ensemble drivers (sim.simulate_ensemble's force): forward = the
-    block-diagonal one-chunk-per-system kernel, backward = lax.scan over
-    systems of the symmetric backward kernel matching the forward's
-    precision class (vjp_pos_sym_mxu for 'sym_mxu', vjp_pos_sym for 'sym')
-    — the ensemble VJP IS block-diagonal, so per-system backwards are
-    exact, and a scan of fixed-shape Pallas launches is the established
-    TPU-safe pattern (no vmap-of-pallas_call). Gradients flow to pos only
-    (mass treated as static, like the default make_differentiable_force).
+    block-diagonal one-chunk-per-system kernel, backward = the BATCHED
+    symmetric backward matching the forward's precision class
+    (vjp_pos_sym_mxu_ensemble for 'sym_mxu', vjp_pos_sym_ensemble for
+    'sym') — the ensemble VJP IS block-diagonal, so the leading-system-axis
+    grid kernel computes exact per-system gradients in ONE launch (the
+    former lax.scan of per-system backwards paid B kernel launches of a
+    tiny grid each — the forward's batching-anomaly class, commit
+    e987bec; measured batched-vs-scan rates in benchmarks/RESULTS.md r4).
+    Gradients flow to pos only (mass treated as static, like the default
+    make_differentiable_force).
     """
     eff = cfg.effective_backend()
     if eff not in ("sym", "sym_mxu"):
@@ -288,7 +291,8 @@ def make_differentiable_ensemble_force(cfg):
     if eff == "sym_mxu":
         from mini_nbody_tpu.ops.sym_mxu_force import (
             body_force_sym_mxu_ensemble)
-        from mini_nbody_tpu.ops.vjp_mxu import vjp_pos_sym_mxu as _vjp1
+        from mini_nbody_tpu.ops.vjp_mxu import (
+            vjp_pos_sym_mxu_ensemble as _vjp_ens)
 
         def fwd_impl(pos, mass):
             return body_force_sym_mxu_ensemble(
@@ -298,7 +302,8 @@ def make_differentiable_ensemble_force(cfg):
     else:
         from mini_nbody_tpu.ops.symmetric_force import (
             body_force_symmetric_ensemble)
-        from mini_nbody_tpu.ops.vjp_kernel import vjp_pos_sym as _vjp1
+        from mini_nbody_tpu.ops.vjp_kernel import (
+            vjp_pos_sym_ensemble as _vjp_ens)
 
         def fwd_impl(pos, mass):
             return body_force_symmetric_ensemble(
@@ -316,15 +321,9 @@ def make_differentiable_ensemble_force(cfg):
 
     def _bwd(res, g):
         pos, mass = res
-
-        def body(_, args):
-            p, gb, m = args
-            bar = _vjp1(p, gb, m if use_masses else None, softening=soft,
-                        interpret=interp, coincident=cfg.coincident,
-                        **_bwd_kw)
-            return None, bar
-
-        _, bars = jax.lax.scan(body, None, (pos, g, mass))
+        bars = _vjp_ens(pos, g, mass if use_masses else None,
+                        softening=soft, interpret=interp,
+                        coincident=cfg.coincident, **_bwd_kw)
         return bars, jnp.zeros_like(mass)
 
     force_diff.defvjp(_fwd, _bwd)

@@ -272,16 +272,21 @@ def _ordered_block(pk, gk, pjt, gjt, softening, unit_mass,
 
 def _sym_vjp_tri_kernel(p_ref, g_ref, pt_ref, gt_ref, rows_ref, colsT_ref, *,
                         softening, tile, nb, masses, mass_grad,
-                        mask_offdiag=True):
+                        mask_offdiag=True, axis_off=0):
     """Diagonal-band step of the symmetric backward (structure identical to
     symmetric_force._tri_kernel): block (i, (i+d) mod nb) at grid (i, d).
     d == 0 uses the ordered formula (rows cover both orders); d > 0 computes
     each unordered pair once and scatters antisymmetrically (the mass
     cotangent rides as a 4th rows column / colsT row; its pair term is NOT
     antisymmetric, so its column side accumulates with + while the position
-    columns accumulate with -)."""
-    i = pl.program_id(0)
-    d = pl.program_id(1)
+    columns accumulate with -).
+
+    axis_off=1 runs the SAME body under the batched-ensemble grid
+    (system, i, d) — sym_mxu_force._tri_kernel rationale: the
+    (i == 0, d == 0) colsT zero-init refires per system because program
+    ids reset along the leading axis."""
+    i = pl.program_id(axis_off)
+    d = pl.program_id(axis_off + 1)
     jg = jax.lax.rem(i + d, jnp.int32(nb))
 
     @pl.when(jnp.logical_and(d == 0, i == 0))
@@ -364,9 +369,10 @@ def vjp_pos_sym(
     check_coincident(coincident)
     n = pos.shape[0]
     masses = mass is not None
-    if coincident == "auto":
-        from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
+    from mini_nbody_tpu.ops.sym_mxu_force import any_coincident, resolve_auto
 
+    coincident = resolve_auto(coincident, n)
+    if coincident == "auto":
         dup = any_coincident(pos)  # scan the REAL bodies, pre-padding
     pos = pos.astype(jnp.float32)
     g = g.astype(jnp.float32)
@@ -440,6 +446,126 @@ def vjp_pos_sym(
     if mass_grad:
         return total[:n, 0:3], total[:n, 3]
     return total[:n]
+
+
+def vjp_pos_sym_ensemble(
+    pos,
+    g,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int | None = None,
+    interpret: bool = False,
+    mass_grad: bool = False,
+    coincident: str = "auto",
+):
+    """pos_bar for B INDEPENDENT systems in ONE program: the fp32-exact
+    batched counterpart of vjp_pos_sym, structured exactly like
+    vjp_mxu.vjp_pos_sym_mxu_ensemble (leading system grid axis, per-system
+    block-base offsets, per-system (ko, np_) reaction block). Each system
+    is bitwise identical to a standalone ``vjp_pos_sym(pos[b], g[b],
+    mass[b], tile=tile)`` with the same tile. coincident='auto' scans
+    within each system only (vmapped any_coincident)."""
+    if mass_grad and mass is None:
+        raise ValueError("mass_grad=True requires per-body masses")
+    check_coincident(coincident)
+    if pos.ndim != 3:
+        raise ValueError(f"ensemble pos must be (B, N, 3), got {pos.shape}")
+    return _vjp_sym_ensemble_impl(pos, g, mass, softening=float(softening),
+                                  tile=tile, interpret=interpret,
+                                  mass_grad=mass_grad, coincident=coincident)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret", "mass_grad",
+                     "coincident"),
+)
+def _vjp_sym_ensemble_impl(pos, g, mass, *, softening, tile, interpret,
+                           mass_grad, coincident):
+    from mini_nbody_tpu.utils.config import FAR
+
+    b, n = pos.shape[0], pos.shape[1]
+    masses = mass is not None
+    from mini_nbody_tpu.ops.sym_mxu_force import any_coincident, resolve_auto
+
+    coincident = resolve_auto(coincident, n)
+    if coincident == "auto":
+        dup = jnp.any(jax.vmap(any_coincident)(pos))
+    if tile is None:
+        from mini_nbody_tpu.ops.symmetric_force import padded_auto_tile
+
+        tile = padded_auto_tile(n, 640, interpret)
+    t = min(tile, round_up(n, 8))
+    if not interpret:
+        t = round_up(t, 128)
+    np_ = round_up(n, t)
+    posf = jnp.pad(pos.astype(jnp.float32), ((0, 0), (0, np_ - n), (0, 0)),
+                   constant_values=FAR if not masses else 0.0
+                   ).reshape(b * np_, 3)
+    gf = jnp.pad(g.astype(jnp.float32),
+                 ((0, 0), (0, np_ - n), (0, 0))).reshape(b * np_, 3)
+    if masses:
+        mf = jnp.pad(mass.astype(jnp.float32),
+                     ((0, 0), (0, np_ - n))).reshape(b * np_)
+        p = jnp.concatenate([posf, mf[:, None]], axis=1)
+    else:
+        p = posf
+    k = p.shape[1]
+    nb = np_ // t
+    nd = nb // 2 + 1
+    vm = pltpu.VMEM
+    pairs = b * np_ * np_
+    ko = 4 if mass_grad else 3
+
+    def bi(s, i, d):
+        return (s * nb + i, 0)
+
+    def bjt(s, i, d):
+        return (0, s * nb + jax.lax.rem(i + d, jnp.int32(nb)))
+
+    def run(mask_offdiag):
+        return pl.pallas_call(
+            functools.partial(
+                _sym_vjp_tri_kernel, softening=float(softening), tile=t,
+                nb=nb, masses=masses, mass_grad=mass_grad,
+                mask_offdiag=mask_offdiag, axis_off=1),
+            grid=(b, nb, nd),
+            in_specs=[
+                pl.BlockSpec((t, k), bi, memory_space=vm),
+                pl.BlockSpec((t, 3), bi, memory_space=vm),
+                pl.BlockSpec((k, t), bjt, memory_space=vm),
+                pl.BlockSpec((3, t), bjt, memory_space=vm),
+            ],
+            out_specs=[
+                pl.BlockSpec((t, ko), bi, memory_space=vm),
+                pl.BlockSpec((ko, np_), lambda s, i, d: (0, s),
+                             memory_space=vm),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b * np_, ko), jnp.float32),
+                jax.ShapeDtypeStruct((ko, b * np_), jnp.float32),
+            ],
+            compiler_params=_CompilerParams(
+                dimension_semantics=("arbitrary",) * 3,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=(26 if mass_grad else 22) * pairs,
+                bytes_accessed=(b * np_ * 24) * 4,
+                transcendentals=pairs // 2,
+            ),
+            interpret=interpret,
+        )(p, gf, p.T, gf.T)
+
+    if coincident == "auto":
+        rows, colsT = jax.lax.cond(
+            dup, lambda: run(True), lambda: run(False))
+    else:
+        rows, colsT = run(coincident == "masked")
+    total = rows + colsT.T
+    if mass_grad:
+        return (total[:, 0:3].reshape(b, np_, 3)[:, :n],
+                total[:, 3].reshape(b, np_)[:, :n])
+    return total.reshape(b, np_, 3)[:, :n]
 
 
 @functools.partial(
@@ -574,9 +700,10 @@ def vjp_pos_pallas(
     check_coincident(coincident)
     n = pos.shape[0]
     unit_mass = mass is None
-    if coincident == "auto":
-        from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
+    from mini_nbody_tpu.ops.sym_mxu_force import any_coincident, resolve_auto
 
+    coincident = resolve_auto(coincident, n)
+    if coincident == "auto":
         dup = any_coincident(pos)  # scan the REAL bodies, pre-padding
     pos = pos.astype(jnp.float32)
     g = g.astype(jnp.float32)

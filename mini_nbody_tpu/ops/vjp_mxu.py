@@ -134,7 +134,7 @@ def _col_sums(w, c, qi, mcolT):
 def _bwd_tri_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, qi_ref,
                     rows_ref, colsT_ref, *,
                     softening, tile, nb, masses, mass_grad,
-                    mask_offdiag=True):
+                    mask_offdiag=True, axis_off=0):
     """Diagonal-band step (structure: vjp_kernel._sym_vjp_tri_kernel).
     d == 0: ordered row sums cover both pair orders (t is antisymmetric, so
     row a's sum over the full tile already includes the reaction of every
@@ -142,9 +142,14 @@ def _bwd_tri_kernel(pi_ref, pjt_ref, gi_ref, gjt_ref, qj_ref, qi_ref,
     accumulate +t sums, the constant-index reaction buffer accumulates the
     transposed-contraction sums, masked only when mask_offdiag (the
     maskless body is exact unless distinct coincident bodies exist —
-    _wc_block / the forward's _tri_kernel rationale)."""
-    i = pl.program_id(0)
-    d = pl.program_id(1)
+    _wc_block / the forward's _tri_kernel rationale).
+
+    axis_off=1 runs the SAME body under the batched-ensemble grid
+    (system, i, d) — exactly as in sym_mxu_force._tri_kernel: the
+    (i == 0, d == 0) colsT zero-init refires at the start of every system
+    because program ids reset per leading-axis step."""
+    i = pl.program_id(axis_off)
+    d = pl.program_id(axis_off + 1)
     jg = jax.lax.rem(i + d, jnp.int32(nb))
 
     @pl.when(jnp.logical_and(d == 0, i == 0))
@@ -223,6 +228,23 @@ def _split8(v):
     return jnp.concatenate([vhi, v - vhi], axis=1)
 
 
+def _combine(total, mf, gf, posf):
+    """pos_bar from the (., 8/9) row+reaction sums: m*S_g[:, :3] - g*S_g[:, 3]
+    + S_p[:, :3] - p*S_p[:, 3] with the three products materialized behind an
+    optimization_barrier. Without it XLA contracts mul+sub into FMAs, and the
+    CONTRACTION CHOICE is shape-dependent: the batched-ensemble combine (B*N
+    rows, reshape after) fused differently from the standalone (N rows) and
+    broke bitwise per-system equality by ~5e-6 relative (mass mode only —
+    unit mass multiplies by 1.0, which rounds identically either way). With
+    every product rounded separately the add/sub chain is associativity-fixed
+    and both shapes agree bitwise. Cost: three O(N) stores per call."""
+    sg = total[:, 0:4]
+    sp = total[:, 4:8]
+    t_m, t_g, t_p = jax.lax.optimization_barrier(
+        (mf[:, None] * sg[:, 0:3], gf * sg[:, 3:4], posf * sp[:, 3:4]))
+    return t_m - t_g + sp[:, 0:3] - t_p
+
+
 def _blockdiag_q(a_g, a_p, nblk, tile):
     """(2*N, 16) per-block block-diagonal operand [[A_g, 0], [0, A_p]]
     (_row_sums rationale)."""
@@ -267,9 +289,10 @@ def vjp_pos_sym_mxu(
     check_coincident(coincident)
     n = pos.shape[0]
     masses = mass is not None
-    if coincident == "auto":
-        from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
+    from mini_nbody_tpu.ops.sym_mxu_force import any_coincident, resolve_auto
 
+    coincident = resolve_auto(coincident, n)
+    if coincident == "auto":
         dup = any_coincident(pos)  # scan the REAL bodies, pre-padding
     pos = pos.astype(jnp.float32)
     g = g.astype(jnp.float32)
@@ -354,13 +377,155 @@ def vjp_pos_sym_mxu(
     else:
         rows, colsT = run(coincident == "masked")
     total = rows + colsT.T
-    sg = total[:, 0:4]
-    sp = total[:, 4:8]
-    pos_bar = (m[:, None] * sg[:, 0:3] - g * sg[:, 3:4]
-               + sp[:, 0:3] - pos * sp[:, 3:4])
+    pos_bar = _combine(total, m, g, pos)
     if mass_grad:
         return pos_bar[:n], total[:n, 8]
     return pos_bar[:n]
+
+
+def vjp_pos_sym_mxu_ensemble(
+    pos,
+    g,
+    mass=None,
+    softening: float = SOFTENING,
+    tile: int | None = None,
+    interpret: bool = False,
+    mass_grad: bool = False,
+    coincident: str = "auto",
+):
+    """pos_bar for B INDEPENDENT systems in ONE program: pos (B, N, 3),
+    g (B, N, 3) [, mass (B, N)] -> (B, N, 3) [, mass_bar (B, N)].
+
+    The batched counterpart of vjp_pos_sym_mxu, built exactly like the
+    batched ensemble FORWARD (sym_mxu_force._build_tri_ensemble): the tri
+    backward kernel under a leading system grid axis (B, nb, nd), every
+    index map offset by the system's block base s*nb, and a per-system
+    (ko, np_) reaction block at column-block s. Each system's gradients are
+    bitwise identical to a standalone ``vjp_pos_sym_mxu(pos[b], g[b],
+    mass[b], tile=tile)`` call with the same tile (same operands, same
+    traversal — tested). Replaces autodiff's former lax.scan of per-system
+    backward launches, which paid one full kernel-launch + tiny-grid pass
+    per system (the forward's 3.2x batching win, commit e987bec; measured
+    backward rates: benchmarks/RESULTS.md r4).
+
+    coincident='auto' scans WITHIN each system only (vmapped
+    any_coincident — cross-system coincidences are never a hot pair since
+    cross-system blocks don't exist in the block-diagonal traversal).
+    """
+    if mass_grad and mass is None:
+        raise ValueError("mass_grad=True requires per-body masses")
+    check_coincident(coincident)
+    if pos.ndim != 3:
+        raise ValueError(f"ensemble pos must be (B, N, 3), got {pos.shape}")
+    return _vjp_ensemble_impl(pos, g, mass, softening=float(softening),
+                              tile=tile, interpret=interpret,
+                              mass_grad=mass_grad, coincident=coincident)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "tile", "interpret", "mass_grad",
+                     "coincident"),
+)
+def _vjp_ensemble_impl(pos, g, mass, *, softening, tile, interpret,
+                       mass_grad, coincident):
+    b, n = pos.shape[0], pos.shape[1]
+    masses = mass is not None
+    from mini_nbody_tpu.ops.sym_mxu_force import any_coincident, resolve_auto
+
+    coincident = resolve_auto(coincident, n)
+    if coincident == "auto":
+        dup = jnp.any(jax.vmap(any_coincident)(pos))
+    if tile is None:
+        # Per-system padding costs quadratic pair work — same scoring as
+        # the ensemble forward, seeded with this kernel's measured-best
+        # single-system default (512).
+        from mini_nbody_tpu.ops.symmetric_force import padded_auto_tile
+
+        tile = padded_auto_tile(n, 512, interpret)
+    t = min(tile, round_up(n, 8))
+    if not interpret:
+        t = round_up(t, 128)
+    np_ = round_up(n, t)
+    # Per-system FAR/zero pads: inert exactly as in the standalone backward
+    # (pad-pad coincidences only occur inside always-masked diagonal blocks
+    # of their own system; cross-system blocks never run).
+    posf = jnp.pad(pos.astype(jnp.float32), ((0, 0), (0, np_ - n), (0, 0)),
+                   constant_values=FAR).reshape(b * np_, 3)
+    gf = jnp.pad(g.astype(jnp.float32),
+                 ((0, 0), (0, np_ - n), (0, 0))).reshape(b * np_, 3)
+    if masses:
+        mf = jnp.pad(mass.astype(jnp.float32),
+                     ((0, 0), (0, np_ - n))).reshape(b * np_)
+        p = jnp.concatenate([posf, mf[:, None]], axis=1)
+    else:
+        mf = jnp.ones((b * np_,), jnp.float32)
+        p = posf
+    k = p.shape[1]
+    a_g = _split8(jnp.concatenate([gf, mf[:, None]], axis=1))
+    a_p = _split8(
+        jnp.concatenate([posf, jnp.ones((b * np_, 1), jnp.float32)], axis=1))
+    nb = np_ // t
+    q = _blockdiag_q(a_g, a_p, b * nb, t)
+    nd = nb // 2 + 1
+    vm = pltpu.VMEM
+    ko = 9 if mass_grad else 8
+    pairs = b * np_ * np_
+
+    def bi(s, i, d):
+        return (s * nb + i, 0)
+
+    def bj(s, i, d):
+        return (s * nb + jax.lax.rem(i + d, jnp.int32(nb)), 0)
+
+    def bjt(s, i, d):
+        return (0, s * nb + jax.lax.rem(i + d, jnp.int32(nb)))
+
+    def run(mask_offdiag):
+        return pl.pallas_call(
+            functools.partial(
+                _bwd_tri_kernel, softening=float(softening), tile=t, nb=nb,
+                masses=masses, mass_grad=mass_grad,
+                mask_offdiag=mask_offdiag, axis_off=1),
+            grid=(b, nb, nd),
+            in_specs=[
+                pl.BlockSpec((t, k), bi, memory_space=vm),
+                pl.BlockSpec((k, t), bjt, memory_space=vm),
+                pl.BlockSpec((t, 3), bi, memory_space=vm),
+                pl.BlockSpec((3, t), bjt, memory_space=vm),
+                pl.BlockSpec((2 * t, 16), bj, memory_space=vm),
+                pl.BlockSpec((2 * t, 16), bi, memory_space=vm),
+            ],
+            out_specs=[
+                pl.BlockSpec((t, ko), bi, memory_space=vm),
+                pl.BlockSpec((ko, np_), lambda s, i, d: (0, s),
+                             memory_space=vm),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b * np_, ko), jnp.float32),
+                jax.ShapeDtypeStruct((ko, b * np_), jnp.float32),
+            ],
+            compiler_params=_CompilerParams(
+                dimension_semantics=("arbitrary",) * 3,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=(30 + 64) * pairs,
+                bytes_accessed=b * np_ * 160,
+                transcendentals=pairs // 2,
+            ),
+            interpret=interpret,
+        )(p, p.T, gf, gf.T, q, q)
+
+    if coincident == "auto":
+        rows, colsT = jax.lax.cond(
+            dup, lambda: run(True), lambda: run(False))
+    else:
+        rows, colsT = run(coincident == "masked")
+    total = rows + colsT.T
+    pos_bar = _combine(total, mf, gf, posf).reshape(b, np_, 3)[:, :n]
+    if mass_grad:
+        return pos_bar, total[:, 8].reshape(b, np_)[:, :n]
+    return pos_bar
 
 
 def vjp_rect_mxu(
@@ -431,6 +596,10 @@ def _vjp_rect_mxu_impl(
     square,
 ):
     nk, nj = pos_k.shape[0], pos_j.shape[0]
+    if square:
+        from mini_nbody_tpu.ops.sym_mxu_force import resolve_auto
+
+        coincident = resolve_auto(coincident, nk)
     if coincident == "auto" and square:
         from mini_nbody_tpu.ops.sym_mxu_force import any_coincident
 

@@ -238,6 +238,115 @@ class TestDifferentiableEnsemble:
                 SimConfig(n=N, backend="pallas", interpret=True))
 
 
+class TestBatchedEnsembleBackward:
+    """vjp_pos_sym_mxu_ensemble / vjp_pos_sym_ensemble: the leading-
+    system-axis backward grid kernels must be bitwise equal per system to
+    the standalone symmetric backwards with the same tile (same operands,
+    same traversal), across band-count parities.
+
+    Bitwise on REAL TPU only (verified on-chip): under interpret the
+    kernel jaxpr is INLINED into the surrounding jitted XLA program, whose
+    FMA-contraction choices inside the body (d2 / dot products / c) are
+    context-dependent — the (B, nb, nd)-grid program contracts differently
+    from the (nb, nd) one at some shapes (observed: mass-mode nb=1, ~1e-5
+    relative; jax.disable_jit() restores bitwise equality, and the raw
+    kernel outputs ARE bitwise under a separate jit). On TPU the body is a
+    context-independent Mosaic binary, so the bitwise contract holds
+    there; interpret runs use tight scale-relative allclose (CLAUDE.md's
+    established policy for XLA-FMA-contraction diffs)."""
+
+    def _assert_match(self, got, want):
+        want = np.asarray(want)
+        if INTERP:
+            tol = 1e-4 * max(np.abs(want).max(), 1e-30)
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                                       atol=tol)
+        else:
+            np.testing.assert_array_equal(np.asarray(got), want)
+
+    def _batch(self, n=N, b=B, key0=100, masses=True):
+        ss = [init.plummer(jax.random.key(key0 + i), n) if masses
+              else init.uniform_random(jax.random.key(key0 + i), n)
+              for i in range(b)]
+        pos = jnp.stack([s.pos for s in ss])
+        g = jnp.stack([jnp.sin(7.0 * s.pos) for s in ss])  # smooth cotangent
+        mass = jnp.stack([s.mass for s in ss]) if masses else None
+        return pos, g, mass
+
+    @pytest.mark.parametrize("masses", [False, True])
+    @pytest.mark.parametrize("mxu", [False, True])
+    def test_bitwise_vs_standalone(self, mxu, masses):
+        from mini_nbody_tpu.ops.vjp_kernel import (
+            vjp_pos_sym, vjp_pos_sym_ensemble)
+        from mini_nbody_tpu.ops.vjp_mxu import (
+            vjp_pos_sym_mxu, vjp_pos_sym_mxu_ensemble)
+
+        ens = vjp_pos_sym_mxu_ensemble if mxu else vjp_pos_sym_ensemble
+        one = vjp_pos_sym_mxu if mxu else vjp_pos_sym
+        pos, g, mass = self._batch(masses=masses)
+        bars = np.asarray(ens(pos, g, mass, tile=TILE, interpret=INTERP))
+        for i in range(B):
+            ref = one(pos[i], g[i], None if mass is None else mass[i],
+                      tile=TILE, interpret=INTERP)
+            self._assert_match(bars[i], ref)
+
+    @pytest.mark.parametrize("mxu", [False, True])
+    @pytest.mark.parametrize("n,tile", [(192, 64), (300, 64), (128, 128)])
+    def test_bitwise_band_parities(self, mxu, n, tile):
+        from mini_nbody_tpu.ops.vjp_kernel import (
+            vjp_pos_sym, vjp_pos_sym_ensemble)
+        from mini_nbody_tpu.ops.vjp_mxu import (
+            vjp_pos_sym_mxu, vjp_pos_sym_mxu_ensemble)
+
+        ens = vjp_pos_sym_mxu_ensemble if mxu else vjp_pos_sym_ensemble
+        one = vjp_pos_sym_mxu if mxu else vjp_pos_sym
+        pos, g, mass = self._batch(n=n, key0=110)
+        bars = np.asarray(ens(pos, g, mass, tile=tile, interpret=INTERP))
+        for i in range(B):
+            ref = one(pos[i], g[i], mass[i], tile=tile, interpret=INTERP)
+            self._assert_match(bars[i], ref)
+
+    @pytest.mark.parametrize("mxu", [False, True])
+    def test_mass_grad_bitwise(self, mxu):
+        from mini_nbody_tpu.ops.vjp_kernel import (
+            vjp_pos_sym, vjp_pos_sym_ensemble)
+        from mini_nbody_tpu.ops.vjp_mxu import (
+            vjp_pos_sym_mxu, vjp_pos_sym_mxu_ensemble)
+
+        ens = vjp_pos_sym_mxu_ensemble if mxu else vjp_pos_sym_ensemble
+        one = vjp_pos_sym_mxu if mxu else vjp_pos_sym
+        pos, g, mass = self._batch(key0=120)
+        pbar, mbar = ens(pos, g, mass, tile=TILE, interpret=INTERP,
+                         mass_grad=True)
+        for i in range(B):
+            rp, rm = one(pos[i], g[i], mass[i], tile=TILE, interpret=INTERP,
+                         mass_grad=True)
+            self._assert_match(pbar[i], rp)
+            self._assert_match(mbar[i], rm)
+
+    def test_within_system_duplicate_routes_masked(self):
+        from mini_nbody_tpu.ops.vjp_mxu import vjp_pos_sym_mxu_ensemble
+
+        pos, g, mass = self._batch(key0=130)
+        pos = pos.at[1, 150].set(pos[1, 3])
+        ba = np.asarray(vjp_pos_sym_mxu_ensemble(
+            pos, g, mass, tile=TILE, interpret=INTERP, coincident="auto"))
+        bm = np.asarray(vjp_pos_sym_mxu_ensemble(
+            pos, g, mass, tile=TILE, interpret=INTERP, coincident="masked"))
+        np.testing.assert_array_equal(ba, bm)
+        assert np.isfinite(ba).all()
+
+    def test_validation(self):
+        from mini_nbody_tpu.ops.vjp_mxu import vjp_pos_sym_mxu_ensemble
+
+        pos, g, mass = self._batch(key0=140)
+        with pytest.raises(ValueError, match=r"\(B, N, 3\)"):
+            vjp_pos_sym_mxu_ensemble(pos[0], g[0], interpret=INTERP)
+        with pytest.raises(ValueError, match="mass"):
+            vjp_pos_sym_mxu_ensemble(pos, g, None, mass_grad=True,
+                                     interpret=INTERP)
+
+
 class TestResidentEnsemble:
     """Batched-resident kernel (ops/resident_sym.py, grid (steps, B, ...)):
     every system's fused trajectory must be bitwise equal to its
