@@ -256,7 +256,19 @@ def _force_block(st_ref, rows_ref, cols_ref, pw_ref, i, d,
             cols_ref[rj, :] = cols_ref[rj, :] - react
 
 
-def _integrate_block(st_ref, rows_ref, cols_ref, b, *, dt, mxu):
+def _integrate_block(st_ref, rows_ref, cols_ref, b, *, dt, mxu,
+                     y4=None, step=None):
+    """Euler update (kick dt, drift dt) — or, with y4 set, one yoshida4
+    composition substep: y4 is a static 3-cycle of (kick_a, kick_b, drift)
+    coefficients (already scaled by dt; simulate_resident_sym_yoshida4
+    derivation) selected by the substep index `step` mod 3. The two
+    half-kicks stay UNMERGED — v + ka*f then + kb*f, two adds against the
+    same force — so the arithmetic matches the streamed yoshida4
+    composition (integrators.yoshida4_step) op for op: the end kick of
+    substep k and the opening kick of substep k+1 both round separately,
+    exactly as in the streamed leapfrog_step chain. Costs 3 extra O(N)
+    VPU ops per substep over a merged kick — invisible next to the O(N*T)
+    force bands."""
     rb = pl.ds(b * 8, 8)
     blk = st_ref[rb, :]
     if mxu:
@@ -266,14 +278,27 @@ def _integrate_block(st_ref, rows_ref, cols_ref, b, *, dt, mxu):
     else:
         s = rows_ref[rb, :] + cols_ref[rb, :]
         f = s[0:3, :]
-    vnew = blk[3:6, :] + dt * f
-    xnew = blk[0:3, :] + dt * vnew
+    if y4 is None:
+        vnew = blk[3:6, :] + dt * f
+        xnew = blk[0:3, :] + dt * vnew
+    else:
+        (a0, b0, h0), (a1, b1, h1), (a2, b2, h2) = y4
+        r = jax.lax.rem(step, jnp.int32(3))
+
+        def pick(c0, c1, c2):
+            return jnp.where(r == 0, jnp.float32(c0),
+                             jnp.where(r == 1, jnp.float32(c1),
+                                       jnp.float32(c2)))
+
+        vh = blk[3:6, :] + pick(a0, a1, a2) * f  # close previous substep
+        vnew = vh + pick(b0, b1, b2) * f         # open this substep
+        xnew = blk[0:3, :] + pick(h0, h1, h2) * vnew
     st_ref[rb, :] = jnp.concatenate([xnew, vnew, blk[6:8, :]], axis=0)
 
 
 def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
             tile, nb, nd, dt, softening, masses, mxu, fast,
-            mask_offdiag=True, batched=False):
+            mask_offdiag=True, batched=False, y4=None, y4_phase=0):
     del in_ref  # aliased to st_ref: the initial state IS the buffer
     if batched:
         # Ensemble grid (steps, B, nb + n_int, nd): system sy owns blocks
@@ -339,17 +364,20 @@ def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
                          base=base)
 
     blk = (i - nb) * nd + d
+    # y4 substep index: global phase (watchdog segments restart program_id
+    # 0 at 0; sim threads the running phase through y4_phase).
+    step = (pl.program_id(0) + jnp.int32(y4_phase)) if y4 is not None else None
 
     @pl.when(jnp.logical_and(i >= nb, blk < nb))
     def _integrate():
         _integrate_block(st_ref, rows_ref, cols_ref, base + blk, dt=dt,
-                         mxu=mxu)
+                         mxu=mxu, y4=y4, step=step)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "dt", "softening", "mxu", "tile", "interpret",
-                     "coincident"),
+                     "coincident", "y4", "y4_phase"),
 )
 def simulate_resident_sym(
     pos,
@@ -363,9 +391,17 @@ def simulate_resident_sym(
     tile: int | None = None,
     interpret: bool = False,
     coincident: str = "auto",
+    y4: tuple | None = None,
+    y4_phase: int = 0,
 ):
     """Run `steps` Euler steps entirely inside one kernel launch (module
     docstring); returns (pos, vel) after the final step.
+
+    y4 (static, internal — use simulate_resident_sym_yoshida4): a 3-cycle
+    of (kick_a, kick_b, drift) coefficient triples that turns each grid
+    step into one yoshida4 composition substep (the r = step mod 3 select
+    in _integrate_block); y4_phase offsets the cycle so watchdog-segmented
+    dispatches (which restart program_id 0) continue mid-cycle.
 
     mxu=False: fp32-exact symmetric math on the VPU (the precision class of
     backend 'sym'). mxu=True: bf16-accumulate MXU hybrid with the
@@ -420,7 +456,8 @@ def simulate_resident_sym(
         functools.partial(_kernel, tile=tile, nb=nb, nd=nd, dt=float(dt),
                           softening=float(softening), masses=masses,
                           mxu=mxu, fast=fast,
-                          mask_offdiag=coincident != "fast"),
+                          mask_offdiag=coincident != "fast",
+                          y4=y4, y4_phase=y4_phase),
         grid=(steps, nb + n_int, nd),
         in_specs=[pl.BlockSpec((8 * nb, tile), lambda s, i, d: (0, 0),
                                memory_space=vm)],
@@ -473,7 +510,7 @@ def auto_tile_ensemble(b: int, n: int, mxu: bool) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "dt", "softening", "mxu", "tile", "interpret",
-                     "coincident"),
+                     "coincident", "y4", "y4_phase"),
 )
 def simulate_resident_sym_ensemble(
     pos,
@@ -487,6 +524,8 @@ def simulate_resident_sym_ensemble(
     tile: int | None = None,
     interpret: bool = False,
     coincident: str = "auto",
+    y4: tuple | None = None,
+    y4_phase: int = 0,
 ):
     """B independent systems x `steps` Euler steps in ONE kernel launch.
 
@@ -550,7 +589,8 @@ def simulate_resident_sym_ensemble(
         functools.partial(_kernel, tile=tile, nb=nb, nd=nd, dt=float(dt),
                           softening=float(softening), masses=masses,
                           mxu=mxu, fast=fast,
-                          mask_offdiag=coincident != "fast", batched=True),
+                          mask_offdiag=coincident != "fast", batched=True,
+                          y4=y4, y4_phase=y4_phase),
         grid=(steps, b, nb + n_int, nd),
         in_specs=[pl.BlockSpec((8 * b * nb, tile),
                                lambda s, sy, i, d: (0, 0),
@@ -672,6 +712,102 @@ def simulate_resident_sym_leapfrog(
             mxu=mxu, tile=tile, interpret=interpret, coincident=coincident)
     a_end = force(pos, mass)
     return pos, vh + half * a_end
+
+
+def y4_cycle(dt: float):
+    """Static (kick_a, kick_b, drift) coefficient 3-cycle for the fused
+    yoshida4 substep chain, plus the opening/closing half-step h1.
+
+    The streamed yoshida4 (integrators.yoshida4_step) is three KDK leapfrog
+    substeps scaled by (w1, w0, w1). Rearranged into (force, update) blocks
+    around each force evaluation k = 1..3S-1 (the opening K(h1/2) D(h1)
+    and the closing K(h1/2) run on the host with streamed force passes),
+    substep k closes the previous leapfrog with kick h_prev/2, opens the
+    next with kick h_next/2 — UNMERGED, matching the streamed rounding —
+    then drifts h_next, with (h_prev, h_next) cycling by r = (k-1) mod 3:
+
+        r = 0: (h1, h0)    r = 1: (h0, h1)    r = 2: (h1, h1)
+
+    All coefficients are Python floats computed exactly as the streamed
+    path computes them (0.5 * (w * dt)), so each scalar rounds to the same
+    fp32 constant."""
+    from mini_nbody_tpu.ops.integrators import _Y4_W0, _Y4_W1
+
+    h1 = _Y4_W1 * dt
+    h0 = _Y4_W0 * dt
+    cycle = (
+        (0.5 * h1, 0.5 * h0, h0),
+        (0.5 * h0, 0.5 * h1, h1),
+        (0.5 * h1, 0.5 * h1, h1),
+    )
+    return cycle, h1
+
+
+def simulate_resident_sym_yoshida4(
+    pos,
+    vel,
+    mass=None,
+    *,
+    steps: int,
+    dt: float,
+    softening: float = SOFTENING,
+    mxu: bool = False,
+    tile: int | None = None,
+    interpret: bool = False,
+    coincident: str = "auto",
+):
+    """`steps` yoshida4 steps with all 3*steps-1 interior composition
+    substeps fused in ONE kernel launch (y4_cycle derivation): one streamed
+    force pass opens (half-kick h1/2 + drift h1), one closes (final
+    half-kick h1/2) — 3*steps+1 force evaluations, the same count as the
+    streamed loop (initial_acc + 3/step), and op-for-op the same update
+    arithmetic (unmerged double half-kicks), so the trajectory matches the
+    streamed yoshida4 run up to any force-kernel-level difference only."""
+    if steps < 1:
+        raise ValueError("simulate_resident_sym_yoshida4 needs steps >= 1")
+    cycle, h1 = y4_cycle(float(dt))
+    force = _class_force(mxu, softening, interpret, coincident)
+    a0 = force(pos, mass)
+    vh = vel + (0.5 * h1) * a0
+    pos = pos + h1 * vh
+    pos, vh = simulate_resident_sym(
+        pos, vh, mass, steps=3 * steps - 1, dt=dt, softening=softening,
+        mxu=mxu, tile=tile, interpret=interpret, coincident=coincident,
+        y4=cycle)
+    a_end = force(pos, mass)
+    return pos, vh + (0.5 * h1) * a_end
+
+
+def simulate_resident_sym_ensemble_yoshida4(
+    pos,
+    vel,
+    mass=None,
+    *,
+    steps: int,
+    dt: float,
+    softening: float = SOFTENING,
+    mxu: bool = False,
+    tile: int | None = None,
+    interpret: bool = False,
+    coincident: str = "auto",
+):
+    """Batched-resident yoshida4: B systems x steps, interior substeps in
+    one launch (simulate_resident_sym_yoshida4 semantics; end passes use
+    the streamed ENSEMBLE force of the same class)."""
+    if steps < 1:
+        raise ValueError(
+            "simulate_resident_sym_ensemble_yoshida4 needs steps >= 1")
+    cycle, h1 = y4_cycle(float(dt))
+    force = _class_force_ensemble(mxu, softening, interpret, coincident)
+    a0 = force(pos, mass)
+    vh = vel + (0.5 * h1) * a0
+    pos = pos + h1 * vh
+    pos, vh = simulate_resident_sym_ensemble(
+        pos, vh, mass, steps=3 * steps - 1, dt=dt, softening=softening,
+        mxu=mxu, tile=tile, interpret=interpret, coincident=coincident,
+        y4=cycle)
+    a_end = force(pos, mass)
+    return pos, vh + (0.5 * h1) * a_end
 
 
 def _class_force(mxu: bool, softening: float, interpret: bool,

@@ -218,8 +218,8 @@ def _route_resident(cfg: SimConfig, steps: int) -> bool:
     fp32-exact VPU mode, 'sym_mxu' the bf16-accumulate MXU mode."""
     if cfg.mesh_shape or cfg.fused_integrate or steps < 1:
         return False
-    if cfg.integrator not in ("euler", "leapfrog"):
-        return False  # the resident kernel fuses exactly these two
+    if cfg.integrator not in ("euler", "leapfrog", "yoshida4"):
+        return False  # the resident kernel fuses these three
     if cfg.resident is not None:
         return cfg.resident
     if cfg.split_w:
@@ -238,7 +238,7 @@ def _simulate_resident(cfg: SimConfig, state: BodyState, steps: int):
     velocities with one streamed force pass at each end (module docstring
     of ops/resident_sym.py)."""
     from mini_nbody_tpu.ops.resident_sym import (
-        _class_force, auto_tile, simulate_resident_sym)
+        _class_force, auto_tile, simulate_resident_sym, y4_cycle)
 
     interp = cfg.resolve_interpret()
     mxu = cfg.effective_backend() == "sym_mxu"
@@ -258,11 +258,26 @@ def _simulate_resident(cfg: SimConfig, state: BodyState, steps: int):
     seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / per_step))
 
     pos, vh = state.pos, state.vel
-    if cfg.integrator == "leapfrog":
+    y4 = None
+    end_half = 0.5 * dt
+    if cfg.integrator == "yoshida4":
+        # opening streamed pass (half-kick h1/2 + drift h1), then all
+        # 3*steps-1 interior composition substeps fused (ops/resident_sym
+        # y4_cycle derivation); watchdog segments thread the running
+        # substep phase so the coefficient 3-cycle stays aligned.
+        y4, h1 = y4_cycle(dt)
+        end_half = 0.5 * h1
         force = _class_force(mxu, float(cfg.softening), interp,
                              cfg.coincident)
         a0 = force(pos, mass)
-        vh = vh + (0.5 * dt) * a0
+        vh = vh + end_half * a0
+        pos = pos + h1 * vh
+        ksteps = 3 * steps - 1
+    elif cfg.integrator == "leapfrog":
+        force = _class_force(mxu, float(cfg.softening), interp,
+                             cfg.coincident)
+        a0 = force(pos, mass)
+        vh = vh + end_half * a0
         pos = pos + dt * vh
         ksteps = steps - 1
     else:
@@ -273,12 +288,13 @@ def _simulate_resident(cfg: SimConfig, state: BodyState, steps: int):
         pos, vh = simulate_resident_sym(
             pos, vh, mass, steps=k, dt=dt, softening=float(cfg.softening),
             mxu=mxu, tile=tile, interpret=interp,
-            coincident=cfg.coincident)
+            coincident=cfg.coincident, y4=y4,
+            y4_phase=(done % 3) if y4 is not None else 0)
         done += k
         if done < ksteps:
             _sync(pos)
-    if cfg.integrator == "leapfrog":
-        vel = vh + (0.5 * dt) * force(pos, mass)
+    if cfg.integrator in ("leapfrog", "yoshida4"):
+        vel = vh + end_half * force(pos, mass)
     else:
         vel = vh
     return BodyState(pos=pos, vel=vel, mass=state.mass)
@@ -497,7 +513,7 @@ def _route_resident_ensemble(cfg: SimConfig, steps: int, b: int) -> bool:
     requires VMEM admission for ALL B systems."""
     if cfg.fused_integrate or steps < 1:
         return False
-    if cfg.integrator not in ("euler", "leapfrog"):
+    if cfg.integrator not in ("euler", "leapfrog", "yoshida4"):
         return False
     if cfg.resident is not None:
         return cfg.resident and _resident_ensemble_admissible(cfg, b)
@@ -519,7 +535,7 @@ def _simulate_resident_ensemble(cfg: SimConfig, state: BodyState,
     with one streamed ensemble force pass at each end."""
     from mini_nbody_tpu.ops.resident_sym import (
         _class_force_ensemble, auto_tile_ensemble,
-        simulate_resident_sym_ensemble)
+        simulate_resident_sym_ensemble, y4_cycle)
 
     interp = cfg.resolve_interpret()
     mxu = cfg.effective_backend() == "sym_mxu"
@@ -537,11 +553,22 @@ def _simulate_resident_ensemble(cfg: SimConfig, state: BodyState,
     seg = max(1, int(MAX_DEVICE_SECONDS_PER_DISPATCH / per_step))
 
     pos, vh = state.pos, state.vel
-    if cfg.integrator == "leapfrog":
+    y4 = None
+    end_half = 0.5 * dt
+    if cfg.integrator == "yoshida4":
+        y4, h1 = y4_cycle(dt)
+        end_half = 0.5 * h1
         force = _class_force_ensemble(mxu, float(cfg.softening), interp,
                                       cfg.coincident)
         a0 = force(pos, mass)
-        vh = vh + (0.5 * dt) * a0
+        vh = vh + end_half * a0
+        pos = pos + h1 * vh
+        ksteps = 3 * steps - 1
+    elif cfg.integrator == "leapfrog":
+        force = _class_force_ensemble(mxu, float(cfg.softening), interp,
+                                      cfg.coincident)
+        a0 = force(pos, mass)
+        vh = vh + end_half * a0
         pos = pos + dt * vh
         ksteps = steps - 1
     else:
@@ -551,12 +578,13 @@ def _simulate_resident_ensemble(cfg: SimConfig, state: BodyState,
         k = min(seg, ksteps - done)
         pos, vh = simulate_resident_sym_ensemble(
             pos, vh, mass, steps=k, dt=dt, softening=float(cfg.softening),
-            mxu=mxu, tile=tile, interpret=interp, coincident=cfg.coincident)
+            mxu=mxu, tile=tile, interpret=interp, coincident=cfg.coincident,
+            y4=y4, y4_phase=(done % 3) if y4 is not None else 0)
         done += k
         if done < ksteps:
             _sync(pos)
-    if cfg.integrator == "leapfrog":
-        vel = vh + (0.5 * dt) * force(pos, mass)
+    if cfg.integrator in ("leapfrog", "yoshida4"):
+        vel = vh + end_half * force(pos, mass)
     else:
         vel = vh
     return BodyState(pos=pos, vel=vel, mass=state.mass)

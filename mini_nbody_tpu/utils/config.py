@@ -212,10 +212,10 @@ class SimConfig:
                 raise ValueError(
                     "resident=True needs a single chip and no "
                     "fused_integrate (the resident kernel fuses its own)")
-            if self.integrator not in ("euler", "leapfrog"):
+            if self.integrator not in ("euler", "leapfrog", "yoshida4"):
                 raise ValueError(
-                    "resident=True supports integrator 'euler' or "
-                    f"'leapfrog', got {self.integrator!r}")
+                    "resident=True supports integrator 'euler', 'leapfrog' "
+                    f"or 'yoshida4', got {self.integrator!r}")
             if self.split_w:
                 raise ValueError(
                     "resident=True has no split_w accuracy mode (the "

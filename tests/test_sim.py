@@ -422,11 +422,35 @@ class TestYoshida4:
                                    np.asarray(ref.pos),
                                    rtol=1e-4, atol=1e-5 * scale)
 
-    def test_resident_refuses_yoshida4(self):
+    def test_resident_yoshida4_matches_streamed(self):
+        # resident=True now fuses yoshida4 (r4): the routed trajectory
+        # must match the streamed one (same composition arithmetic; the
+        # force kernels differ only at the fused-vs-streamed level).
+        import numpy as np
+
+        from mini_nbody_tpu import SimConfig, simulate
+        from mini_nbody_tpu.models import init
+
+        n = 192
+        s = init.plummer(jax.random.key(21), n)
+        base = SimConfig(n=n, dt=1e-3, steps=4, softening=1e-2,
+                         backend="sym", use_masses=True,
+                         integrator="yoshida4", interpret=True)
+        ref = simulate(base.replace(resident=False), s)
+        out = simulate(base.replace(resident=True, resident_tile=64), s)
+        scale = np.abs(np.asarray(ref.pos)).max()
+        np.testing.assert_allclose(np.asarray(out.pos),
+                                   np.asarray(ref.pos),
+                                   rtol=1e-5, atol=1e-6 * scale)
+        np.testing.assert_allclose(np.asarray(out.vel),
+                                   np.asarray(ref.vel),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_resident_refuses_rk4(self):
         from mini_nbody_tpu import SimConfig
 
         with pytest.raises(ValueError, match="resident"):
-            SimConfig(n=64, resident=True, integrator="yoshida4")
+            SimConfig(n=64, resident=True, integrator="rk4")
 
 
 def test_pacing_scales_with_force_evals():
