@@ -102,7 +102,9 @@ def _build(args):
         # plummer/cold_sphere carry per-body masses.
         use_masses=args.init != "uniform",
     )
-    if getattr(args, "autotune", False):
+    if getattr(args, "autotune", False) and not getattr(args, "ensemble", 0):
+        # Ensembles have their own (B, N)-keyed family; cmd_run applies
+        # tune_ensemble AFTER the 'auto' -> sym_mxu backend upgrade.
         from mini_nbody_tpu.utils import autotune
 
         cfg = autotune.tune(cfg)
@@ -138,6 +140,10 @@ def cmd_run(args):
             # fp32 'sym' which simulate_ensemble also accepts but is not
             # what the flag's help promises
             cfg = cfg.replace(backend="sym_mxu")
+        if getattr(args, "autotune", False):
+            from mini_nbody_tpu.utils import autotune
+
+            cfg = autotune.tune_ensemble(cfg, args.ensemble)
         from mini_nbody_tpu.models.state import BodyState
         from mini_nbody_tpu.sim import simulate_ensemble
 
@@ -415,6 +421,21 @@ def cmd_tune(args):
     from mini_nbody_tpu.utils import autotune
 
     cfg = _build(args)
+    if getattr(args, "ensemble", 0):
+        if cfg.backend == "auto":
+            cfg = cfg.replace(backend="sym_mxu")  # match run --ensemble
+        best = autotune.tune_ensemble(cfg, args.ensemble, reps=args.reps,
+                                      use_cache=not args.no_cache)
+        print(json.dumps({
+            "backend": cfg.effective_backend(),
+            "n": cfg.n,
+            "ensemble": args.ensemble,
+            "sym_tile": best.sym_tile,
+            "resident": bool(best.resident),
+            "resident_tile": best.resident_tile,
+            "cache": str(autotune.cache_path()),
+        }))
+        return
     best = autotune.tune(cfg, reps=args.reps, use_cache=not args.no_cache,
                          backward=args.backward)
     print(json.dumps({
@@ -483,6 +504,12 @@ def main(argv=None):
     p.add_argument("--backward", action="store_true",
                    help="also sweep the symmetric backward kernel's tile "
                         "(sym_bwd_tile; one extra compile per candidate)")
+    p.add_argument("--ensemble", type=int, default=0, metavar="B",
+                   help="tune the B-system batched drivers instead: sweeps "
+                        "the streamed ensemble's sym_tile head to head "
+                        "against the batched-resident kernel, caches the "
+                        "winner keyed by (B, N) buckets; run --ensemble B "
+                        "--autotune consumes it")
     p.set_defaults(fn=cmd_tune)
 
     args = ap.parse_args(argv)

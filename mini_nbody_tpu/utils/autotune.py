@@ -38,6 +38,13 @@ SYM_CHUNKS = (131072, 262144)
 RESIDENT_TILES = (512, 640, 768, 896, 1024)
 #: Symmetric-backward tiles (vjp_pos_sym / vjp_pos_sym_mxu).
 BWD_TILES = (512, 640, 768, 896)
+#: Ensemble streamed-kernel tile candidates (sym_tile of the batched
+#: drivers). Smaller tiles than the standalone sweep: per-system padding
+#: costs quadratic pair work PER SYSTEM, so at small per-system N the
+#: optimum drops fast (r3g: the flat 1024 default was 3.06x slower than
+#: padding-aware tiling at N=1024 mass mode). None = the padded_auto_tile
+#: heuristic, kept as the baseline candidate.
+ENSEMBLE_TILES = (None, 128, 256, 384, 512, 768, 1024)
 
 CACHE_ENV = "NBODY_TUNE_CACHE"
 
@@ -74,20 +81,26 @@ def _bucket(n: int) -> int:
     return b
 
 
-def _key(cfg: SimConfig) -> str:
+def _key(cfg: SimConfig, ensemble: int = 0) -> str:
     import jax
 
     device = jax.devices()[0].device_kind.replace(" ", "_")
     # pair_dtype/split_w change the kernel's compute balance (mxu-bf16 vs
     # mxu-fp32 optima differ by a 2x rate class), so they key the cache;
     # coincident routing changes the VPU body by ~2 ops/pair (12.8%
-    # measured), enough to move tile optima, so it keys too.
-    return "|".join([
+    # measured), enough to move tile optima, so it keys too. Ensembles key
+    # on the B bucket as well: the batched kernels' padding economics are
+    # (B, N)-shaped (per-system pads cost quadratic pair work PER SYSTEM —
+    # ops/sym_mxu_force.ensemble_tiling), so the optimum moves with both.
+    parts = [
         device, cfg.effective_backend(),
         "mass" if cfg.use_masses else "unit", str(_bucket(cfg.n)),
         cfg.pair_dtype, "wsplit" if cfg.split_w else "w1",
         cfg.coincident,
-    ])
+    ]
+    if ensemble:
+        parts.append(f"ens{_bucket(ensemble)}")
+    return "|".join(parts)
 
 
 def _default_measure(cfg: SimConfig, reps: int) -> float:
@@ -162,6 +175,74 @@ def _default_measure_bwd(cfg: SimConfig, reps: int) -> float:
     return time_fn(run, reps=reps)
 
 
+def _default_measure_ensemble(cfg: SimConfig, b: int, reps: int) -> float:
+    """Median seconds per STEP of a B-system ensemble run at cfg's tiling,
+    amortized over ONE multi-step dispatch (whole-carry per-step timing
+    carries ~165 us/step of tunnel sync bias — CLAUDE.md r3e; the fused
+    scan removes it). cfg.resident=True candidates time the batched-
+    resident kernel at cfg.resident_tile; streamed candidates time the
+    jitted k-step ensemble scan at cfg.sym_tile."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mini_nbody_tpu.models import init
+    from mini_nbody_tpu.models.state import BodyState
+
+    n = cfg.n
+    make = init.plummer if cfg.use_masses else init.uniform_random
+    s = make(jax.random.key(0), n)
+    pos = s.pos[None] + 1e-3 * jax.random.normal(jax.random.key(1),
+                                                 (b, n, 3), jnp.float32)
+    state = BodyState(pos=pos,
+                      vel=jnp.broadcast_to(s.vel, (b, n, 3)),
+                      mass=jnp.broadcast_to(s.mass, (b, n)))
+    interp = cfg.resolve_interpret()
+    mxu = cfg.effective_backend() == "sym_mxu"
+    if mxu:
+        from mini_nbody_tpu.ops.sym_mxu_force import ensemble_tiling
+
+        _, c = ensemble_tiling(n, cfg.sym_tile, interp)
+    else:
+        from mini_nbody_tpu.ops.symmetric_force import ensemble_tiling
+
+        _, c = ensemble_tiling(n, cfg.sym_tile, cfg.use_masses, interp)
+    # ~1e11 padded pairs per timed dispatch: >=30x the ~33 ms sync cost at
+    # the measured ensemble rates, well under the watchdog.
+    steps = int(min(512, max(4, 1e11 / (b * float(c) * c))))
+
+    if cfg.resident:
+        from mini_nbody_tpu.ops.resident_sym import (
+            simulate_resident_sym_ensemble)
+
+        def once():
+            t0 = time.perf_counter()
+            p, _ = simulate_resident_sym_ensemble(
+                state.pos, state.vel,
+                state.mass if cfg.use_masses else None,
+                steps=steps, dt=float(cfg.dt),
+                softening=float(cfg.softening), mxu=mxu,
+                tile=cfg.resident_tile, interpret=interp,
+                coincident=cfg.coincident)
+            np.asarray(jax.device_get(p[0, 0, 0]))
+            return time.perf_counter() - t0
+    else:
+        from mini_nbody_tpu.sim import _ensemble_initial_acc, _ensemble_run_k
+
+        acc = _ensemble_initial_acc(cfg, None, state)
+
+        def once():
+            t0 = time.perf_counter()
+            st, _ = _ensemble_run_k(cfg, None, state, acc, steps)
+            np.asarray(jax.device_get(st.pos[0, 0, 0]))
+            return time.perf_counter() - t0
+
+    once()
+    return min(once() for _ in range(reps)) / steps
+
+
 def _candidates(cfg: SimConfig):
     eff = cfg.effective_backend()
     if eff in ("sym", "sym_mxu"):
@@ -189,13 +270,20 @@ FAMILY_PARAMS = {
     "mxu": ("tile_i", "tile_j"),
 }
 
+#: Fields the ensemble family tunes: the streamed batched drivers take
+#: their tile from sym_tile; the batched-resident route is pinned
+#: (resident True/False) with its own tile, since tune measures both
+#: families head to head at the actual (B, N).
+ENSEMBLE_FAMILY_PARAMS = ("sym_tile", "resident", "resident_tile")
 
-def _apply_cached(cfg: SimConfig, params: dict) -> SimConfig:
+
+def _apply_cached(cfg: SimConfig, params: dict,
+                  fields: tuple | None = None) -> SimConfig:
     """Apply a cached result to cfg: family-tuned fields only, user
     overrides (any field differing from the dataclass default) kept."""
     defaults = SimConfig(n=cfg.n)
     keep = {}
-    for k in FAMILY_PARAMS.get(cfg.effective_backend(), ()):
+    for k in fields or FAMILY_PARAMS.get(cfg.effective_backend(), ()):
         if k in params and getattr(cfg, k) == getattr(defaults, k):
             keep[k] = params[k]
     return cfg.replace(**keep)
@@ -289,6 +377,67 @@ def tune(
         "params": _params(best),
         "seconds": best_sec,
         "ginter_s": float(cfg.n) * cfg.n / best_sec / 1e9,
+        "results": results,
+    }
+    _save(path, data)
+    return best
+
+
+def tune_ensemble(
+    cfg: SimConfig,
+    b: int,
+    reps: int = 2,
+    use_cache: bool = True,
+    measure: Optional[Callable[[SimConfig, int, int], float]] = None,
+    path: Optional[pathlib.Path] = None,
+) -> SimConfig:
+    """Return cfg with the measured-fastest ENSEMBLE execution plan for a
+    B-system batch applied: the streamed batched drivers' sym_tile swept
+    over ENSEMBLE_TILES head to head against the batched-resident kernel's
+    admissible RESIDENT_TILES, winner pinned (resident True/False +
+    tiles). Keyed by (device, backend, mass-mode, N-bucket, ..., B-bucket)
+    — the static ensemble_auto_tile heuristic left 3x on the table once
+    (r3g), so ensembles get real measurements too.
+
+    CLI: ``tune --ensemble B`` populates the cache;
+    ``run --ensemble B --autotune`` consumes it.
+    """
+    measure = measure or _default_measure_ensemble
+    path = path or cache_path()
+    key = _key(cfg, ensemble=b)
+    if use_cache:
+        hit = _load(path).get(key)
+        if hit:
+            return _apply_cached(cfg, hit["params"],
+                                 ENSEMBLE_FAMILY_PARAMS)
+
+    from mini_nbody_tpu.ops.resident_sym import RESIDENT_SYM_MAX_N
+    from mini_nbody_tpu.utils.config import round_up
+
+    results = {}
+    streamed = [cfg.replace(sym_tile=t, resident=False)
+                for t in ENSEMBLE_TILES
+                if t is None or t <= round_up(cfg.n, 128)]
+    resident = [cfg.replace(resident=True, resident_tile=t)
+                for t in RESIDENT_TILES
+                if b * round_up(cfg.n, t) <= RESIDENT_SYM_MAX_N
+                and cfg.integrator in ("euler", "leapfrog", "yoshida4")]
+
+    def meas(cand, r):
+        return measure(cand, b, r)
+
+    best, best_sec = _sweep(streamed + resident, meas, reps, results)
+    if best is None:
+        raise RuntimeError(
+            f"tune_ensemble: every candidate failed for {key}: {results}")
+
+    data = _load(path)
+    params = dict(_params(best))
+    params["resident"] = bool(best.resident)
+    data[key] = {
+        "params": params,
+        "seconds": best_sec,
+        "g_pairs_s": b * float(cfg.n) * cfg.n / best_sec / 1e9,
         "results": results,
     }
     _save(path, data)

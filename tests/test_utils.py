@@ -419,6 +419,79 @@ class TestAutotuneV2:
                               backward=True)
         assert best3.sym_bwd_tile == 896
 
+
+class TestAutotuneEnsemble:
+    def test_sweeps_streamed_and_resident_head_to_head(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        cfg = SimConfig(n=1024, backend="sym_mxu")
+        seen = []
+
+        def measure(cand, b, reps):
+            assert b == 8
+            if cand.resident:
+                seen.append(("res", cand.resident_tile))
+                return {512: 2.0, 640: 1.8, 768: 0.5, 896: 1.9,
+                        1024: 1.7}[cand.resident_tile]
+            seen.append(("str", cand.sym_tile))
+            return 1.0  # every streamed candidate slower than res@768
+
+        path = tmp_path / "t.json"
+        best = autotune.tune_ensemble(cfg, 8, measure=measure, path=path)
+        assert best.resident is True and best.resident_tile == 768
+        # both families swept: all streamed tiles <= padded N, all
+        # VMEM-admissible resident tiles
+        assert {s for s in seen if s[0] == "str"} == {
+            ("str", t) for t in autotune.ENSEMBLE_TILES}
+        assert {s for s in seen if s[0] == "res"} == {
+            ("res", t) for t in autotune.RESIDENT_TILES}
+        # cache hit: no re-measure, result applied
+        def boom(cand, b, reps):
+            raise AssertionError("cache miss")
+        best2 = autotune.tune_ensemble(cfg, 8, measure=boom, path=path)
+        assert best2.resident is True and best2.resident_tile == 768
+        # different B bucket -> fresh key (measure runs again)
+        calls = []
+
+        def measure2(cand, b, reps):
+            calls.append(cand)
+            return 1.0
+
+        autotune.tune_ensemble(cfg, 512, measure=measure2, path=path)
+        assert calls
+
+    def test_streamed_wins_pins_resident_false(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        cfg = SimConfig(n=1024, backend="sym_mxu")
+
+        def measure(cand, b, reps):
+            if cand.resident:
+                return 2.0
+            return 0.5 if cand.sym_tile == 256 else 1.0
+
+        best = autotune.tune_ensemble(cfg, 8, measure=measure,
+                                      path=tmp_path / "t.json")
+        assert best.resident is False and best.sym_tile == 256
+
+    def test_resident_candidates_respect_vmem_cap(self, tmp_path):
+        from mini_nbody_tpu.utils import autotune
+        from mini_nbody_tpu.utils.config import SimConfig
+
+        # B * round_up(N, tile) > RESIDENT_SYM_MAX_N for every tile:
+        # only streamed candidates may be measured.
+        cfg = SimConfig(n=16384, backend="sym_mxu")
+
+        def measure(cand, b, reps):
+            assert not cand.resident
+            return 1.0
+
+        best = autotune.tune_ensemble(cfg, 64, measure=measure,
+                                      path=tmp_path / "t.json")
+        assert best.resident is False
+
     def test_cached_rate_feeds_watchdog_pacing(self, tmp_path):
         from mini_nbody_tpu.utils import autotune
         from mini_nbody_tpu.utils.config import SimConfig
