@@ -21,21 +21,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mini_nbody_tpu.ops.resident_sym import simulate_resident_sym
 
 
-def probe(n, tile, mxu, s1=256, s2=1024):
+def probe(n, tile, mxu, use_mass=False, s1=256, s2=1024):
     key = jax.random.key(0)
     kp, kv = jax.random.split(key)
     pos = jax.random.normal(kp, (n, 3), jnp.float32)
     vel = 0.01 * jax.random.normal(kv, (n, 3), jnp.float32)
+    mass = (1.0 + jax.random.uniform(key, (n,), jnp.float32)
+            if use_mass else None)
 
     def timed(steps, reps=3):
-        p, v = simulate_resident_sym(pos, vel, steps=steps, dt=0.01,
+        p, v = simulate_resident_sym(pos, vel, mass, steps=steps, dt=0.01,
                                      mxu=mxu, tile=tile)
         np.asarray(jax.device_get(p.ravel()[0]))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            p, v = simulate_resident_sym(pos, vel, steps=steps, dt=0.01,
-                                         mxu=mxu, tile=tile)
+            p, v = simulate_resident_sym(pos, vel, mass, steps=steps,
+                                         dt=0.01, mxu=mxu, tile=tile)
             np.asarray(jax.device_get(p.ravel()[0]))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
@@ -49,13 +51,13 @@ def probe(n, tile, mxu, s1=256, s2=1024):
         t1 = timed(s1)
         t2 = timed(s2)
         per = (t2 - t1) / (s2 - s1)
-        print(f"n={n:7d} tile={tile:5} mxu={int(mxu)}  OK  "
-              f"per_step={per * 1e6:9.2f} us  "
+        print(f"n={n:7d} tile={tile:5} mxu={int(mxu)} mass={int(use_mass)}"
+              f"  OK  per_step={per * 1e6:9.2f} us  "
               f"ginter={n * n / per / 1e9:7.1f} G/s", flush=True)
     except Exception as e:
         msg = str(e).replace("\n", " ")[:160]
-        print(f"n={n:7d} tile={tile:5} mxu={int(mxu)}  FAIL  {msg}",
-              flush=True)
+        print(f"n={n:7d} tile={tile:5} mxu={int(mxu)} mass={int(use_mass)}"
+              f"  FAIL  {msg}", flush=True)
 
 
 if __name__ == "__main__":
@@ -73,7 +75,9 @@ if __name__ == "__main__":
         # "n,tile,mxu" triplets from argv
         cases = []
         for a in _s.argv[1:]:
-            n, t, m = a.split(",")
-            cases.append((int(n), int(t), bool(int(m))))
-    for n, t, m in cases:
-        probe(n, t, m)
+            parts = a.split(",")
+            n, t, m = int(parts[0]), int(parts[1]), bool(int(parts[2]))
+            um = bool(int(parts[3])) if len(parts) > 3 else False
+            cases.append((n, t, m, um))
+    for case in cases:
+        probe(*case)
