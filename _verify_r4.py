@@ -61,4 +61,30 @@ for name, ens, one in (("fp32", vjp_pos_sym_ensemble, vjp_pos_sym),
     print(f"ensemble backward {name} bitwise ok", time.time() - t0,
           flush=True)
 
+# 5. r4 gate move (COINCIDENT_AUTO_MIN_N 32768 -> 16384): at N=16384
+# 'auto' now takes the duplicate-scan + maskless route — must stay
+# bitwise identical to 'masked' on-chip (the 'auto' contract).
+from mini_nbody_tpu.ops.sym_mxu_force import resolve_auto
+
+assert resolve_auto("auto", 16384) == "auto"
+assert resolve_auto("auto", 16383) == "masked"
+sg = init.plummer(jax.random.key(3), 16384)
+fa = np.asarray(body_force(sg.pos, sg.pos, sg.mass, backend="sym_mxu",
+                           coincident="auto"))
+fm = np.asarray(body_force(sg.pos, sg.pos, sg.mass, backend="sym_mxu",
+                           coincident="masked"))
+np.testing.assert_array_equal(fa, fm)
+print("auto==masked at N=16384 (scan route) ok", time.time() - t0,
+      flush=True)
+
+# 6. Recalibrated roofline: report() must be <= 1.0 at the headline config.
+from mini_nbody_tpu.utils.harness import Throughput, chip_peaks
+
+peaks = chip_peaks()
+assert peaks["vpu_fp32"] == 5.0e12, peaks
+rep = Throughput(n=1_048_576, steps=1, seconds=1_048_576**2 / 473.4e9
+                 ).report(path="sym_mxu")
+print("headline-rate roofline_frac:", rep["roofline_frac"], flush=True)
+assert rep["roofline_frac"] <= 1.0
+
 print("ALL VERIFY CHECKS PASSED", time.time() - t0, flush=True)

@@ -23,9 +23,13 @@ Run: python benchmarks/probe_auto_cond.py
 """
 
 import json
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mini_nbody_tpu.models import init as minit
 from mini_nbody_tpu.sim import make_step_fn, init_carry

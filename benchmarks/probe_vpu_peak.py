@@ -143,6 +143,49 @@ def make_force_mix(k_unroll=24):
     return run, 10 * k_unroll
 
 
+def make_w_mix(chains):
+    """THE roofline mix: each chain-iteration is literally the maskless
+    sym_mxu w-pipeline (ops/sym_mxu_force._w_block, coincident-safe body) —
+    3 sub, d2 = dx*dx+dy*dy+dz*dz, +softening, w = rsqrt((r2*r2)*r2) —
+    counted at the SAME 17 op-equivalent convention the kernel model uses
+    (sub/mul/add = 1, rsqrt = 4.7; utils/harness.py). w feeds back as the
+    next iteration's position coordinate, so the chain costs ZERO ops
+    beyond the body itself (the map contracts to a bounded fixed point —
+    values converge, instructions still execute; XLA cannot fold a rsqrt
+    chain). The best rate over `chains` is the demonstrated VPU ceiling
+    for exactly this instruction mix at full ILP with no grid, mask, MXU
+    or memory work attached — the kernel cannot beat it, so
+    kernel_rate / this is a true <=1.0 roofline fraction."""
+
+    def maker(k_unroll=16):
+        @jax.jit
+        def run(x, a, b):
+            def body(c, _):
+                ys = [c * (1.0 + float(k) * 1e-3) for k in range(chains)]
+                for _ in range(k_unroll):
+                    new = []
+                    for y in ys:
+                        dx = y - 0.125  # nonzero: y - 0.0 would fold away
+                        dy = y - 1.0
+                        dz = y - 2.0
+                        d2 = dx * dx + dy * dy + dz * dz
+                        r2 = d2 + 1.0
+                        new.append(jax.lax.rsqrt((r2 * r2) * r2))
+                    ys = new
+                c = ys[0]
+                for y in ys[1:]:
+                    c = c + y
+                return c * (1.0 / chains), None
+
+            c, _ = jax.lax.scan(body, x, None, length=SCAN)
+            return c
+
+        # 17 op-equivalents per chain body (the maskless-pair convention)
+        return run, 17 * k_unroll * chains
+
+    return maker
+
+
 if __name__ == "__main__":
     print(json.dumps({"backend": jax.default_backend(), "shape": SHAPE,
                       "scan": SCAN}))
@@ -156,7 +199,11 @@ if __name__ == "__main__":
                         ("fma_ilp4", make_fma_ilp(4)),
                         ("fma_ilp8", make_fma_ilp(8)),
                         ("fma_ilp16", make_fma_ilp(16)),
-                        ("fma_ilp32", make_fma_ilp(32))):
+                        ("fma_ilp32", make_fma_ilp(32)),
+                        ("w_mix_ilp8", make_w_mix(8)),
+                        ("w_mix_ilp16", make_w_mix(16)),
+                        ("w_mix_ilp32", make_w_mix(32)),
+                        ("w_mix_ilp64", make_w_mix(64))):
         run, ops_per_elem = maker()
         sec = time_fn(run, x, a, b, reps=5)
         rate = elems * ops_per_elem * SCAN / sec

@@ -151,13 +151,15 @@ _any_coincident_jit = jax.jit(any_coincident)
 #: Below this many bodies (per system) 'auto' routes STRAIGHT to the
 #: always-correct masked kernels without the duplicate scan: the scan +
 #: lax.cond run once per force call, so in a stepped loop their fixed cost
-#: is paid every step, and under ~200 us/step it outweighs the maskless
-#: body's ~12.8% saving (r3f shmoo vs the r3b masked table at N=1M scale:
-#: 8k -15%, 16k -2%; maskless first wins at 65k +7-10% — the r4 on-chip
-#: probe benchmarks/probe_auto_cond.py stage 1 pins the crossover between
-#: 16384 and 65536). Bitwise-neutral by construction: 'auto' is defined
-#: as producing the masked result for every input.
-COINCIDENT_AUTO_MIN_N = 32768
+#: is paid every step, and at small N it outweighs the maskless body's
+#: ~12.8% saving. Pinned by the r4 on-chip crossover probe
+#: (benchmarks/probe_auto_cond.py stage 1, gate patched to 0 so the true
+#: scan+cond+maskless cost is visible at every N — G/s, scan-auto vs
+#: masked): 4096 284.3/348.3, 8192 385.5/390.0, 16384 433.3/411.8,
+#: 32768 468.7/426.7, 65536 486.7/434.5 — scan-auto overtakes masked
+#: between 8192 and 16384. Bitwise-neutral by construction: 'auto' is
+#: defined as producing the masked result for every input.
+COINCIDENT_AUTO_MIN_N = 16384
 
 
 def resolve_auto(coincident: str, n: int) -> str:

@@ -48,12 +48,19 @@ VPU_OPS_PER_INTERACTION_SYM_MASS = 16.0
 VPU_OPS_PER_INTERACTION_SYM_MXU = 8.5
 
 #: Peak-throughput estimates per chip generation (per-chip, fp32 VPU ops/s and
-#: bf16 MXU flops/s). v5e vpu_fp32 is the MEASURED sustained elementwise rate
-#: on this hardware (r2-only microbenchmark: 4.0e12 fp32 ops/s — see
-#: CLAUDE.md); other rows are estimates from published peak TFLOPs.
+#: bf16 MXU flops/s). v5e/v5-lite vpu_fp32 is MEASURED on this hardware as
+#: the sustained rate of EXACTLY the maskless w-pipeline (3 sub, d2, +soft,
+#: rsqrt((r2*r2)*r2)) counted at the same op-equivalent convention the
+#: kernel models use (rsqrt = 4.7), at full instruction-level parallelism:
+#: benchmarks/probe_vpu_peak.py w_mix — 3.55e12 at ILP=8, 4.49e12 ILP=16,
+#: 4.81e12 ILP=32, 5.01e12 ILP=64 (pure-FMA ILP=32 tops at 5.31e12). The
+#: r2 serial-chain figure (4.0e12) undercounted ILP and put the r3 headline
+#: at an impossible roofline_frac = 1.006; 5.0e12 is the demonstrated
+#: ceiling for the kernels' actual instruction mix, so kernel/ceiling is a
+#: true <=1.0 fraction. Other rows are estimates from published TFLOPs.
 CHIP_PEAKS = {
-    "v5 lite": {"vpu_fp32": 4.0e12, "mxu_bf16": 197e12, "clock": 1.5e9},
-    "v5e": {"vpu_fp32": 4.0e12, "mxu_bf16": 197e12, "clock": 1.5e9},
+    "v5 lite": {"vpu_fp32": 5.0e12, "mxu_bf16": 197e12, "clock": 1.5e9},
+    "v5e": {"vpu_fp32": 5.0e12, "mxu_bf16": 197e12, "clock": 1.5e9},
     "v5p": {"vpu_fp32": 7.2e12, "mxu_bf16": 459e12, "clock": 1.75e9},
     "v4": {"vpu_fp32": 4.3e12, "mxu_bf16": 275e12, "clock": 1.05e9},
     "v6e": {"vpu_fp32": 7.6e12, "mxu_bf16": 918e12, "clock": 0.94e9},
