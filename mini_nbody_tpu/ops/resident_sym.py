@@ -62,9 +62,13 @@ overhead. With the (tile, 8) pw scratch, tile=1024 mxu is VMEM-
 admissible to N=114688 (407.9 G/s measured; nb=128 exceeds VMEM) — the
 resident mxu path now runs 327.0 / 365.1 / 387.8 / 403.4 / 380.7 G/s at
 N=4k / 8k / 16k / 65k / 131k, within 4% of streamed from 8k (vs ~60%
-of streamed at the old tile=512 cap). fp32 keeps 4 (T,T) temporaries
-live (w + three weighted displacements), capping its tile at 768
-(245.6 G/s at N=65536) — streamed from N=1024 up. Both the round-2
+of streamed at the old tile=512 cap). The fp32 body originally kept 4
+(T,T) temporaries live (w + three weighted displacements), capping its
+tile at 768 (245.6 G/s at N=65536); the round-4 displacement-recompute
+diet (recompute dz from the state blocks instead of keeping it live)
+cut that to 3, admitting tile=1024 to N=57344 (321.7 G/s), 896 to
+N=100352 (319.1) and 768 to the full N cap (285.9 at N=130560) —
+still streamed from N=1024 up in auto routing. Both the round-2
 resident kernel's "3.9x at N=4096" headline and the ">=500 us streamed
 launch overhead" it was measured against were artifacts of the old
 un-amortized harness (utils/harness.auto_inner). sim.simulate
@@ -102,26 +106,41 @@ RESIDENT_SYM_MAX_N = 131072
 
 #: VMEM admission: max padded block count nb = round_up(n, T)/T per tile,
 #: per mode (benchmarks/probe_resident_tiles.py, v5e). The binding budget
-#: is 3 state/accumulator buffers at 96*nb*T bytes plus the (T,T) pair
-#: temporaries — ~1.5 live for mxu (w + matmul staging), ~4 for the VPU
-#: path (w + three weighted displacements). Entries marked (v) are
-#: compile-verified on chip; the rest interpolate the linear VMEM model
-#: and stay conservative. fp32 T=1024 exceeds VMEM at ANY nb (verified
-#: fail at n=8192).
+#: is the sublane-major state/accumulator buffers (~84 B/body empirical)
+#: plus the (T,T) pair temporaries — ~1.5 live for mxu (w + matmul
+#: staging), 3 for the VPU path after the round-4 displacement-recompute
+#: diet (w + two live weighted displacements; the third is recomputed).
+#: Entries marked (v) are compile-verified on chip; the rest interpolate
+#: the linear VMEM model and stay conservative.
 _MAX_NB = {
     True: {1024: 112, 896: 136, 768: 171, 640: 205, 512: 256,
            384: 342, 256: 512, 128: 1024},
     # (v): 1024 ok at nb=112 / fails nb=128; 896 ok at nb=134
     #      (395.3 G/s at n=120000); 768 ok at nb=171 (the N cap);
     #      512 ok at nb=256 (the N cap)
-    False: {768: 86, 640: 120, 512: 256,
+    False: {1024: 56, 896: 112, 768: 170, 640: 205, 512: 256,
             384: 342, 256: 512, 128: 1024},
-    # (v): 768 ok at nb=86 / fails nb=171; 640 ok at nb=120 (214.9 G/s
-    # at n=76800); 512 ok at nb=256 (the N cap).
-    # No 896: the 4-temporary VPU body at 896 is VMEM-marginal and its
-    # padded-rate never beats 768/512 (measured: padded large tiles
-    # underperform their aligned large-N rate — 768 at n=4096 ran 153.7
-    # vs 512's ~180 G/s).
+    # Post-diet round-4 probe, all (v): 1024 ok at nb=56 (321.7 G/s at
+    # n=57344) / fails nb=64 — pre-diet it failed at ANY nb; 896 ok at
+    # nb=112 (319.1 at n=100352) / fails nb=120; 768 ok at nb=170
+    # (285.9 at n=130560; was 245.6 capped at nb=86 pre-diet) but pads
+    # one block over at the exact 131072 N cap; 640 ok at nb=205
+    # (240.9 at n=131072 vs 218.5 for 512 — the N-cap tile); 512 nb=256
+    # carried over from the pre-diet probe (the diet only loosens).
+}
+
+#: fp32 MASS mode schedules ~1 more live (T,T) than the unit-mass body
+#: (Mosaic keeps t AND t*mj live across the two reductions — 17.3 MB
+#: scoped at T=1024, ANY nb: inadmissible; found by an on-chip verify
+#: drive after the unit-mass-only probe unlocked 1024), so it gets its
+#: own probed table. mxu mass admission matches unit-mass (masses fold
+#: into the matmul operand pack — verified at the 1024/nb=112 cap,
+#: 406.5 G/s with mass). (v): 896 ok nb=48 (252.6 G/s at n=43008) /
+#: fails 56; 768 ok nb=128 (222.6 at n=98304) / fails 144; 640 ok
+#: nb=205 (214.3 at n=131072, the N cap); 512 carried from unit-mass.
+_MAX_NB_FP32_MASS = {
+    896: 48, 768: 128, 640: 205, 512: 256,
+    384: 342, 256: 512, 128: 1024,
 }
 
 #: Measured large-N GInteractions/s per (mode, tile) on v5e (same probe);
@@ -130,12 +149,21 @@ _MAX_NB = {
 _TILE_RATE = {
     True: {1024: 405.0, 896: 392.0, 768: 381.0, 640: 355.0, 512: 330.0,
            384: 280.0, 256: 210.0, 128: 110.0},
-    False: {896: 235.0, 768: 245.0, 640: 220.0, 512: 196.0,
+    False: {1024: 322.0, 896: 319.0, 768: 286.0, 640: 241.0, 512: 196.0,
             384: 165.0, 256: 130.0, 128: 70.0},
+    # fp32 1024/896/768/640 re-measured post-diet (round-4 probe, large
+    # N); smaller tiles keep the pre-diet figures (ordering-only use).
 }
 
 
-def auto_tile(n: int, mxu: bool) -> int:
+def _admission(mxu: bool, masses: bool) -> dict:
+    """The probed VMEM admission table for a (precision, mass) class."""
+    if not mxu and masses:
+        return _MAX_NB_FP32_MASS
+    return _MAX_NB[mxu]
+
+
+def auto_tile(n: int, mxu: bool, masses: bool = False) -> int:
     """Estimated-fastest VMEM-admissible tile.
 
     Body per-pair efficiency RISES with tile (the (T,T) vector ops
@@ -144,10 +172,11 @@ def auto_tile(n: int, mxu: bool) -> int:
     with ablated bodies, benchmarks/probe_resident_floor.py), so bigger
     tiles win unless tail padding inflates the pair work (768 at n=1024
     would pad to 1536 — 2.25x the pairs of tile 512) or the (T,T)
-    temporaries exceed VMEM (_MAX_NB). Score = padded-pairs / measured
-    rate; smallest score wins, larger tile on ties."""
+    temporaries exceed VMEM (_MAX_NB / _MAX_NB_FP32_MASS — fp32 mass mode
+    has its own tighter table). Score = padded-pairs / measured rate;
+    smallest score wins, larger tile on ties."""
     best = None
-    for t, max_nb in _MAX_NB[mxu].items():
+    for t, max_nb in _admission(mxu, masses).items():
         np_ = round_up(n, t)
         if np_ // t > max_nb:
             continue
@@ -439,7 +468,7 @@ def simulate_resident_sym(
         raise ValueError("simulate_resident_sym needs steps >= 1")
     masses = mass is not None
     if tile is None:
-        tile = auto_tile(n, mxu)
+        tile = auto_tile(n, mxu, masses=masses)
     tile = min(tile, round_up(n, 8))
     if not interpret:
         tile = round_up(tile, 128)
@@ -499,13 +528,14 @@ def simulate_resident_sym(
     return final[0:3, :n].T, final[3:6, :n].T
 
 
-def auto_tile_ensemble(b: int, n: int, mxu: bool) -> int:
+def auto_tile_ensemble(b: int, n: int, mxu: bool,
+                       masses: bool = False) -> int:
     """auto_tile for B batched systems: per-system padded pair work scores
     the candidates (identical for every B), but VMEM admission bounds the
     TOTAL stacked block count b * round_up(n, t)/t (the state/accumulator
     buffers hold all B systems)."""
     best = None
-    for t, max_nb in _MAX_NB[mxu].items():
+    for t, max_nb in _admission(mxu, masses).items():
         np_ = round_up(n, t)
         if b * (np_ // t) > max_nb:
             continue
@@ -565,7 +595,7 @@ def simulate_resident_sym_ensemble(
     check_coincident(coincident)
     b, n = pos.shape[0], pos.shape[1]
     if tile is None:
-        tile = auto_tile_ensemble(b, n, mxu)
+        tile = auto_tile_ensemble(b, n, mxu, masses=mass is not None)
     tile = min(tile, round_up(n, 8))
     if not interpret:
         tile = round_up(tile, 128)

@@ -188,13 +188,19 @@ def simulate(
 #: streamed: mxu — N=512: 2.11 vs 2.82 (+34%); 1024: 5.14 vs 5.81;
 #: 2048: 15.60 vs 16.44; 4096: 51.31 vs 51.08 (tie — routed resident for
 #: fewer host dispatches); 8192: 183.8 vs 180.8 — streamed wins from
-#: 8192 up (0.93+ of roofline from N=16384). fp32 — N=512: 3.03 vs 3.21
-#: (+6%); 1024: 8.74 vs 7.07 — streamed from 1024: the fp32 resident
-#: body keeps 4 (T,T) temporaries live, capping its tile at 768 and its
-#: body rate below the streamed kernel's. cfg.resident=True forces the
+#: 8192 up (0.93+ of roofline from N=16384). fp32, round-4 re-probe
+#: after the VMEM diet admitted tile=1024 at small nb (resident vs
+#: streamed us/step): N=512: 2.97 vs 3.14 (+5%); 1024: 6.80 vs 6.99
+#: (+3%); 2048: 20.35 vs 20.03 (-1.6%, inside run variance); 4096:
+#: 66.0 vs 63.2 — streamed from 2048 up (pre-diet the crossover was
+#: 1024, with tile capped at 768). Mass mode (tighter admission —
+#: resident_sym._MAX_NB_FP32_MASS — so tile=512 at N<=1024): 512: 2.86
+#: vs 3.11 (+8%); 1024: 8.72 vs 8.65 (parity; routed resident for
+#: fewer dispatches, the mxu-tie precedent); 2048: 32.99 vs 25.89 —
+#: same 1024 crossover as unit-mass. cfg.resident=True forces the
 #: resident path at any N up to its VMEM cap; False pins the streamed
 #: path.
-RESIDENT_AUTO_MAX_N = {"sym": 512, "sym_mxu": 4096}
+RESIDENT_AUTO_MAX_N = {"sym": 1024, "sym_mxu": 4096}
 
 #: Auto-routing per-system N cap for the BATCHED resident ensemble vs the
 #: streamed ensemble drivers, measured on v5e with amortized single-
@@ -244,7 +250,8 @@ def _simulate_resident(cfg: SimConfig, state: BodyState, steps: int):
     mxu = cfg.effective_backend() == "sym_mxu"
     mass = state.mass if cfg.use_masses else None
     dt = float(cfg.dt)
-    tile = cfg.resident_tile or auto_tile(cfg.n, mxu)
+    tile = cfg.resident_tile or auto_tile(cfg.n, mxu,
+                                          masses=cfg.use_masses)
     # Watchdog pacing: conservative pair rate plus ~2 us/slot of small-N
     # per-step overhead (matches the measured 5-12 us/step at N<=1024,
     # where the pair term alone would undercount by ~20x; the slot grid
@@ -500,7 +507,8 @@ def _resident_ensemble_admissible(cfg: SimConfig, b: int) -> bool:
 
     mxu = cfg.effective_backend() == "sym_mxu"
     try:
-        tile = cfg.resident_tile or auto_tile_ensemble(b, cfg.n, mxu)
+        tile = cfg.resident_tile or auto_tile_ensemble(
+            b, cfg.n, mxu, masses=cfg.use_masses)
     except ValueError:
         return False
     return b * round_up(cfg.n, tile) <= RESIDENT_SYM_MAX_N
@@ -542,7 +550,8 @@ def _simulate_resident_ensemble(cfg: SimConfig, state: BodyState,
     b = state.pos.shape[0]
     mass = state.mass if cfg.use_masses else None
     dt = float(cfg.dt)
-    tile = cfg.resident_tile or auto_tile_ensemble(b, cfg.n, mxu)
+    tile = cfg.resident_tile or auto_tile_ensemble(
+        b, cfg.n, mxu, masses=cfg.use_masses)
     # Watchdog pacing: B x per-system pair work plus the slot-overhead
     # envelope (the same 2 us/slot bound as _simulate_resident).
     nb = -(-cfg.n // tile)

@@ -204,20 +204,31 @@ def test_auto_tile_admission_and_picks():
     assert auto_tile(65536, True) == 1024    # 403.4 vs 330 at tile=512
     assert auto_tile(114688, True) == 1024   # largest verified nb=112
     assert auto_tile(131072, True) == 768    # nb=128 at 1024 exceeds VMEM
-    assert auto_tile(65536, False) == 768    # 245.6 vs 195.6 at 512
-    assert auto_tile(131072, False) == 512   # 768 fails VMEM at nb=171
+    # fp32 post-diet (round 4): 1024 admits to nb=56, 896 to nb=112
+    assert auto_tile(4096, False) == 1024    # 254.9 G/s measured on chip
+    assert auto_tile(57344, False) == 1024   # largest verified nb=56
+    assert auto_tile(65536, False) == 896    # 319.1 vs 278.5 at 768
+    assert auto_tile(131072, False) == 640   # 768 nb=171 exceeds VMEM;
+    # 640 admits the cap at nb=205: 240.9 vs 218.5 G/s at 512
     # aligned small tiles beat padded big ones (768 at n=1024 would pad
     # to 1536 = 2.25x the pair work)
     assert auto_tile(512, True) == 512
-    assert auto_tile(1024, False) == 512
-    # fp32 never gets 1024/896 (4 live (T,T) temporaries exceed VMEM)
-    for n in (256, 1024, 4096, 65536, 131072):
-        assert auto_tile(n, False) <= 768
+    assert auto_tile(1024, False) == 1024    # nb=1, no padding: admissible
+    # fp32 MASS mode schedules one more live (T,T): 1024 is inadmissible
+    # at ANY nb (17.3 MB scoped VMEM measured), so the mass table caps
+    # lower — N=1024 falls back to 512, large N to 768/640
+    assert auto_tile(1024, False, masses=True) == 512
+    assert auto_tile(65536, False, masses=True) == 768
+    assert auto_tile(131072, False, masses=True) == 640
+    # mxu mass admission matches unit-mass (mass folds into the operand)
+    assert auto_tile(4096, True, masses=True) == 1024
     # admission invariant for arbitrary N
+    from mini_nbody_tpu.ops.resident_sym import _admission
     for n in (7, 600, 5000, 100000, 120000, 131072):
         for mxu in (True, False):
-            t = auto_tile(n, mxu)
-            assert round_up(n, t) // t <= _MAX_NB[mxu][t]
+            for masses in (False, True):
+                t = auto_tile(n, mxu, masses=masses)
+                assert round_up(n, t) // t <= _admission(mxu, masses)[t]
 
 
 def test_resident_config_validation():
