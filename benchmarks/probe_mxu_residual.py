@@ -21,6 +21,14 @@ matmuls are serialized after the VPU w-block (Mosaic does not overlap
 VPU/MXU across the block boundary), the deltas land near the padded-matmul
 estimate; if they vanish, the residual is grid/DMA and the matmuls ride
 free. Run on-chip: python benchmarks/probe_mxu_residual.py
+
+MEASURED (r4, v5e, R=512 — 2.3 s device work per sync): full 4.394
+us/slot (477.2 G 2-per-eval inter/s — reproduces the N=1M headline),
+rows_only 3.892, no_mm 4.524. Itemization vs the 3.558 us pure-VPU
+floor: rows matmul +0.334, reaction matmul + dynamic-slice store
++0.503; ablating the rows matmul to a jnp.sum VPU reduction COSTS
+0.632 us/slot — the MXU row-sum is cheaper than any VPU reduction.
+Full writeup: benchmarks/RESULTS.md "Slot decomposition".
 """
 
 import functools
@@ -43,12 +51,21 @@ from mini_nbody_tpu.utils.harness import time_fn
 
 N = 32768
 T = 1024
+# Leading repeat axis: ONE dispatch runs R full (N x N) passes so the
+# tunnel's ~28-33 ms fixed dispatch+sync overhead amortizes below ~1.5%
+# (first run timed single passes: every variant read ~27.5 ms/call where
+# compute is ~4.4 ms — the deltas were pure sync noise, rows_mm came out
+# NEGATIVE; the R=24 rerun still carried ~25% sync share, inflating every
+# ABSOLUTE slot time by ~1.1 us while the deltas, being differences of
+# equally-inflated calls, were already correct). R*4.4 ms ~= 2.3 s of
+# device work per sync at R=512 (6e11 pairs — inside the 4e12 crash bound).
+R = 512
 
 
 def _kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
             variant):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
     def _zero():
@@ -78,22 +95,22 @@ def build(variant):
     vm = pltpu.VMEM
     return pl.pallas_call(
         functools.partial(_kernel, variant=variant),
-        grid=(N // T, N // T),
+        grid=(R, N // T, N // T),
         in_specs=[
-            pl.BlockSpec((T, 3), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((3, T), lambda i, j: (0, j), memory_space=vm),
-            pl.BlockSpec((T, 8), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((T, 8), lambda i, j: (j, 0), memory_space=vm),
+            pl.BlockSpec((T, 3), lambda r, i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, T), lambda r, i, j: (0, j), memory_space=vm),
+            pl.BlockSpec((T, 8), lambda r, i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((T, 8), lambda r, i, j: (j, 0), memory_space=vm),
         ],
         out_specs=[
-            pl.BlockSpec((T, 8), lambda i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((8, N), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((T, 8), lambda r, i, j: (i, 0), memory_space=vm),
+            pl.BlockSpec((8, N), lambda r, i, j: (0, 0), memory_space=vm),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, 8), jnp.float32),
             jax.ShapeDtypeStruct((8, N), jnp.float32),
         ],
-        **_common_params(N * N, N * 96),
+        **_common_params(R * N * N, R * N * 96, ndims=3),
     )
 
 
@@ -104,7 +121,8 @@ if __name__ == "__main__":
     s = init.plummer(jax.random.key(7), 2 * N)
     pa, _, va = _pack(s.pos[:N], None, N, N)
     pb, pbt, vb = _pack(s.pos[N:], None, N, N)
-    pairs = float(N) * N
+    pairs = float(N) * N * R
+    slots = R * (N // T) ** 2
     rows = {}
     for variant in ("full", "rows_only", "no_mm"):
         call = jax.jit(build(variant))
@@ -112,12 +130,12 @@ if __name__ == "__main__":
         rows[variant] = dt
         print(json.dumps({
             "variant": variant, "us_call": round(dt * 1e6, 1),
-            "us_slot": round(dt * 1e6 / (N // T) ** 2, 3),
+            "us_slot": round(dt * 1e6 / slots, 3),
             "g_inter_s": round(2 * pairs / dt / 1e9, 1),
         }), flush=True)
     print(json.dumps({
         "cols_mm_us_slot": round(
-            (rows["full"] - rows["rows_only"]) * 1e6 / (N // T) ** 2, 3),
+            (rows["full"] - rows["rows_only"]) * 1e6 / slots, 3),
         "rows_mm_us_slot": round(
-            (rows["rows_only"] - rows["no_mm"]) * 1e6 / (N // T) ** 2, 3),
+            (rows["rows_only"] - rows["no_mm"]) * 1e6 / slots, 3),
     }))
