@@ -28,6 +28,10 @@ rows_only 3.892, no_mm 4.524. Itemization vs the 3.558 us pure-VPU
 floor: rows matmul +0.334, reaction matmul + dynamic-slice store
 +0.503; ablating the rows matmul to a jnp.sum VPU reduction COSTS
 0.632 us/slot — the MXU row-sum is cheaper than any VPU reduction.
+Store-layout ablation (variants cols_static / cols_sub): full 4.397,
+static-slice store 4.396, sublane-sliced (nb*8,T) accumulator 4.398 —
+the dynamic lane-offset store is FREE; the whole 0.503 is the reaction
+matmul itself. No store-layout or loop-order lever exists.
 Full writeup: benchmarks/RESULTS.md "Slot decomposition".
 """
 
@@ -89,13 +93,28 @@ def _kernel(pi_ref, pjt_ref, vi_ref, vj_ref, rows_ref, colsT_ref, *,
         s_c = _mm_cols(vi_ref[:], (w,))
         cj = pl.ds(j * T, T)
         colsT_ref[:, cj] = colsT_ref[:, cj] + s_c
+    elif variant == "cols_static":
+        # Reaction matmul kept, dynamic lane-offset store ablated: results
+        # are WRONG (all j accumulate into lanes 0:T) — isolates the
+        # pl.ds(j*T) store cost from the matmul cost.
+        s_c = _mm_cols(vi_ref[:], (w,))
+        colsT_ref[:, 0:T] = colsT_ref[:, 0:T] + s_c
+    elif variant == "cols_sub":
+        # Reaction accumulator laid out (nb*8, T): the per-slot dynamic
+        # offset rides SUBLANES (major dim) instead of lanes. Correct
+        # results up to a host-side (nb,8,T)->(8,nb*T) reshape.
+        s_c = _mm_cols(vi_ref[:], (w,))
+        rj = pl.ds(j * 8, 8)
+        colsT_ref[rj, :] = colsT_ref[rj, :] + s_c
 
 
 def build(variant):
     vm = pltpu.VMEM
+    nb = N // T
+    cols_shape = (nb * 8, T) if variant == "cols_sub" else (8, N)
     return pl.pallas_call(
         functools.partial(_kernel, variant=variant),
-        grid=(R, N // T, N // T),
+        grid=(R, nb, nb),
         in_specs=[
             pl.BlockSpec((T, 3), lambda r, i, j: (i, 0), memory_space=vm),
             pl.BlockSpec((3, T), lambda r, i, j: (0, j), memory_space=vm),
@@ -104,11 +123,12 @@ def build(variant):
         ],
         out_specs=[
             pl.BlockSpec((T, 8), lambda r, i, j: (i, 0), memory_space=vm),
-            pl.BlockSpec((8, N), lambda r, i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec(cols_shape, lambda r, i, j: (0, 0),
+                         memory_space=vm),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, 8), jnp.float32),
-            jax.ShapeDtypeStruct((8, N), jnp.float32),
+            jax.ShapeDtypeStruct(cols_shape, jnp.float32),
         ],
         **_common_params(R * N * N, R * N * 96, ndims=3),
     )
@@ -124,7 +144,9 @@ if __name__ == "__main__":
     pairs = float(N) * N * R
     slots = R * (N // T) ** 2
     rows = {}
-    for variant in ("full", "rows_only", "no_mm"):
+    variants = (sys.argv[1].split(",") if len(sys.argv) > 1
+                else ("full", "rows_only", "no_mm"))
+    for variant in variants:
         call = jax.jit(build(variant))
         dt = time_fn(lambda c=call: c(pa, pbt, va, vb))
         rows[variant] = dt
@@ -133,9 +155,10 @@ if __name__ == "__main__":
             "us_slot": round(dt * 1e6 / slots, 3),
             "g_inter_s": round(2 * pairs / dt / 1e9, 1),
         }), flush=True)
-    print(json.dumps({
-        "cols_mm_us_slot": round(
-            (rows["full"] - rows["rows_only"]) * 1e6 / slots, 3),
-        "rows_mm_us_slot": round(
-            (rows["rows_only"] - rows["no_mm"]) * 1e6 / slots, 3),
-    }))
+    if {"full", "rows_only", "no_mm"} <= rows.keys():
+        print(json.dumps({
+            "cols_mm_us_slot": round(
+                (rows["full"] - rows["rows_only"]) * 1e6 / slots, 3),
+            "rows_mm_us_slot": round(
+                (rows["rows_only"] - rows["no_mm"]) * 1e6 / slots, 3),
+        }))
