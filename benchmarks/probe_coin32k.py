@@ -1,5 +1,5 @@
-import json, sys
-sys.path.insert(0, "/root/repo")
+import json, os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 from mini_nbody_tpu.models import init
 from mini_nbody_tpu.ops.sym_mxu_force import body_force_sym_mxu

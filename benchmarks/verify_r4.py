@@ -1,5 +1,9 @@
 """Round-4 verify drive (real TPU): standard surface + new r4 surfaces."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,11 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (CI smoke runs)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = SimConfig(n=args.n, dt=2e-2, softening=1e-2,
                     integrator="leapfrog", use_masses=True)

@@ -34,7 +34,11 @@ def main():
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--remat", choices=["sqrt", "step", "none"],
                     default="sqrt")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (CI smoke runs)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = SimConfig(n=args.n, dt=5e-3, softening=1e-2,
                     integrator="leapfrog", use_masses=True)

@@ -49,7 +49,11 @@ def main():
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--dt", type=float, default=2e-3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (CI smoke runs)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     soft = 1e-3
     cfg = SimConfig(n=args.n, dt=args.dt, steps=args.steps, softening=soft,
