@@ -24,6 +24,7 @@ def body_force(
     interpret: bool = False,
     pair_dtype=jnp.float32,
     split_w: bool = False,
+    traversal: str = "auto",
     sym_tile: int | None = None,
     sym_chunk: int | None = None,
     coincident: str = "auto",
@@ -88,7 +89,8 @@ def body_force(
 
             return body_force_sym_mxu(
                 pos_i, mass_j, softening=softening, interpret=interpret,
-                split_w=split_w, coincident=coincident, **kw,
+                split_w=split_w, coincident=coincident,
+                traversal=traversal, **kw,
             )
         from mini_nbody_tpu.ops.symmetric_force import body_force_symmetric
 
@@ -114,7 +116,7 @@ def make_force_fn(cfg: SimConfig):
             interpret=interpret, pair_dtype=pair_dtype,
             split_w=cfg.split_w,
             sym_tile=cfg.sym_tile, sym_chunk=cfg.sym_chunk,
-            coincident=cfg.coincident,
+            coincident=cfg.coincident, traversal=cfg.traversal,
         )
 
     return force

@@ -49,6 +49,27 @@ def make_runners(tri_body, cross_body):
     return run_tri, run_cross
 
 
+def make_runners1(tri_body, cross_body):
+    """Single-accumulator variant of make_runners for the unified-acc
+    slot-pipelined traversal (ops/slot_pipe.py): scan carries are
+    (acc, *consts); runners return a 1-tuple so drive() is unchanged.
+    Same caching obligation as make_runners."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_tri(a0, *rest):
+        *consts_, offs = rest
+        (a0, *_), _ = jax.lax.scan(tri_body, (a0, *consts_), offs)
+        return (a0,)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_cross(a0, *rest):
+        *consts_, offs = rest
+        (a0, *_), _ = jax.lax.scan(cross_body, (a0, *consts_), offs)
+        return (a0,)
+
+    return run_tri, run_cross
+
+
 def drive(run_tri, run_cross, accs, consts, nc: int, c: int,
           pairs_per_dispatch: float = 4e12, progress=None):
     """Run all chunk units through host-grouped dispatches.

@@ -187,6 +187,16 @@ def auto_tile(n: int, mxu: bool, masses: bool = False) -> int:
     return best[1]
 
 
+
+#: Folded-diagonal auto policy: fold engages where the diagonal waste is a
+#: large share of the pass and the fold temporaries are VMEM-safe. Set by
+#: the round-5 on-chip probe (benchmarks/probe_resident_fold.py); nb == 1
+#: cannot fold (auto_tile handles the N <= tile case by scoring half
+#: tiles with fold-aware effective evals).
+def _fold_auto(nb: int, tile: int, mxu: bool) -> bool:
+    return 2 <= nb and nb * tile <= 8192
+
+
 def _blk(ref, b):
     """(8, T) state/accumulator block b (dynamic sublane slice)."""
     return ref[pl.ds(b * 8, 8), :]
@@ -299,6 +309,85 @@ def _force_block(st_ref, rows_ref, cols_ref, pw_ref, i, d,
             cols_ref[rj, :] = cols_ref[rj, :] - react
 
 
+def _force_fold_block(st_ref, rows_ref, cols_ref, pw_ref, i, *,
+                      nb, softening, masses, mxu, fast, mask_offdiag,
+                      tile, base=0):
+    """Folded diagonal pair: blocks a = base+i and b = a+1 in ONE (T,T)
+    eval — entry (r,c) is pair (a_r, a_c) for c < r (strict lower = every
+    unordered within-a pair once) and (b_r, b_c) for c > r (strict upper =
+    every within-b pair once); r == c is the self diagonal, always masked.
+    Halves the diagonal slots' eval count at ~6 extra VPU ops/entry (the
+    streamed twin: ops/slot_pipe._w_fold_block; measured +5.4% whole-step
+    at streamed N=8192). The partner block's column operand is one native
+    swapaxes (~free); the i-tile's comes from pw_ref as usual."""
+    a = base + i
+    blk_a = _blk(st_ref, a)
+    blk_b = _blk(st_ref, a + 1)
+    pwa = pw_ref[:]                        # (T, 8) columns of block a
+    pwb = jnp.swapaxes(blk_b, 0, 1)        # (T, 8) columns of block b
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    lower = c_idx < r_idx
+
+    def d_sel(c):
+        return jnp.where(lower,
+                         blk_a[c:c + 1, :] - pwa[:, c:c + 1],
+                         blk_b[c:c + 1, :] - pwb[:, c:c + 1])
+
+    dx, dy, dz = d_sel(0), d_sel(1), d_sel(2)
+    d2 = dx * dx + dy * dy + dz * dz
+    r2 = d2 + jnp.asarray(softening, jnp.float32)
+    if fast:
+        w = jax.lax.rsqrt((r2 * r2) * r2)
+    else:
+        inv = jax.lax.rsqrt(r2)
+        w = (inv * inv) * inv
+    zero = jnp.asarray(0.0, w.dtype)
+    w = jnp.where(r_idx == c_idx, zero, w)  # self pairs (both modes)
+    if mask_offdiag:
+        w = jnp.where(d2 == 0.0, zero, w)   # coincident distinct bodies
+    w_lo = jnp.where(lower, w, zero)
+    w_hi = w - w_lo
+
+    ra = pl.ds(a * 8, 8)
+    rb = pl.ds((a + 1) * 8, 8)
+    if mxu:
+        opa = _mxu_operand(blk_a)
+        opb = _mxu_operand(blk_b)
+        rows_ref[ra, :] = rows_ref[ra, :] + _mm(opa, w_lo, ((1,), (1,)))
+        cols_ref[ra, :] = cols_ref[ra, :] + _mm(opa, w_lo, ((1,), (0,)))
+        rows_ref[rb, :] = rows_ref[rb, :] + _mm(opb, w_hi, ((1,), (1,)))
+        cols_ref[rb, :] = cols_ref[rb, :] + _mm(opb, w_hi, ((1,), (0,)))
+        return
+    # fp32: same displacement-recompute liveness shape as _force_block —
+    # per coordinate only t/t_lo (t_hi derived) join w and the mask.
+    mja = blk_a[6:7, :] if masses else None
+    mjb = blk_b[6:7, :] if masses else None
+    mia = pwa[:, 6:7] if masses else None
+    mib = pwb[:, 6:7] if masses else None
+    rs_a, cs_a, rs_b, cs_b = [], [], [], []
+    for c in range(3):
+        t = d_sel(c) * w
+        t_lo = jnp.where(lower, t, zero)
+        t_hi = t - t_lo
+        if masses:
+            rs_a.append(jnp.sum(t_lo * mja, axis=1, keepdims=True))
+            cs_a.append(jnp.sum(t_lo * mia, axis=0, keepdims=True))
+            rs_b.append(jnp.sum(t_hi * mjb, axis=1, keepdims=True))
+            cs_b.append(jnp.sum(t_hi * mib, axis=0, keepdims=True))
+        else:
+            rs_a.append(jnp.sum(t_lo, axis=1, keepdims=True))
+            cs_a.append(jnp.sum(t_lo, axis=0, keepdims=True))
+            rs_b.append(jnp.sum(t_hi, axis=1, keepdims=True))
+            cs_b.append(jnp.sum(t_hi, axis=0, keepdims=True))
+    rows_ref[ra, :] = rows_ref[ra, :] + _pad8(
+        jnp.swapaxes(jnp.concatenate(rs_a, axis=1), 0, 1))
+    cols_ref[ra, :] = cols_ref[ra, :] - _pad8(jnp.concatenate(cs_a, axis=0))
+    rows_ref[rb, :] = rows_ref[rb, :] + _pad8(
+        jnp.swapaxes(jnp.concatenate(rs_b, axis=1), 0, 1))
+    cols_ref[rb, :] = cols_ref[rb, :] - _pad8(jnp.concatenate(cs_b, axis=0))
+
+
 def _integrate_block(st_ref, rows_ref, cols_ref, b, *, dt, mxu,
                      y4=None, step=None):
     """Euler update (kick dt, drift dt) — or, with y4 set, one yoshida4
@@ -341,7 +430,8 @@ def _integrate_block(st_ref, rows_ref, cols_ref, b, *, dt, mxu,
 
 def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
             tile, nb, nd, dt, softening, masses, mxu, fast,
-            mask_offdiag=True, batched=False, y4=None, y4_phase=0):
+            mask_offdiag=True, batched=False, y4=None, y4_phase=0,
+            fold=False):
     del in_ref  # aliased to st_ref: the initial state IS the buffer
     if batched:
         # Ensemble grid (steps, B, nb + n_int, nd): system sy owns blocks
@@ -382,7 +472,39 @@ def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
     force_on = jnp.logical_and(
         is_force, jnp.logical_or(d * 2 != nb, i * 2 < nb))
 
-    if mask_offdiag:
+    if fold:
+        # Folded diagonals: even-i d == 0 slots fold blocks (i, i+1); odd-i
+        # d == 0 slots idle (resident idle slots are ~free — probed
+        # 0.03-0.08 us, benchmarks/probe_resident_floor.py — because
+        # nothing is fetched); odd nb leaves the last diagonal plain.
+        even_i = jax.lax.rem(i, jnp.int32(2)) == 0
+        fold_on = jnp.logical_and(
+            jnp.logical_and(is_force, d == 0),
+            jnp.logical_and(even_i, i + 1 < nb))
+
+        @pl.when(fold_on)
+        def _force_fold():
+            _force_fold_block(st_ref, rows_ref, cols_ref, pw_ref, i,
+                              nb=nb, softening=softening, masses=masses,
+                              mxu=mxu, fast=fast,
+                              mask_offdiag=mask_offdiag, tile=tile,
+                              base=base)
+
+        if nb % 2:
+            @pl.when(jnp.logical_and(is_force,
+                                     jnp.logical_and(d == 0, i == nb - 1)))
+            def _force_last_diag():
+                _force_block(st_ref, rows_ref, cols_ref, pw_ref,
+                             i, d, nb=nb, softening=softening,
+                             masses=masses, mxu=mxu, fast=fast, base=base)
+
+        @pl.when(jnp.logical_and(force_on, d > 0))
+        def _force_off_fold():
+            _force_block(st_ref, rows_ref, cols_ref, pw_ref,
+                         i, d, nb=nb, softening=softening,
+                         masses=masses, mxu=mxu, fast=fast,
+                         mask=mask_offdiag, base=base)
+    elif mask_offdiag:
         @pl.when(force_on)
         def _force():
             _force_block(st_ref, rows_ref, cols_ref, pw_ref,
@@ -420,7 +542,7 @@ def _kernel(in_ref, st_ref, rows_ref, cols_ref, pw_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "dt", "softening", "mxu", "tile", "interpret",
-                     "coincident", "y4", "y4_phase"),
+                     "coincident", "y4", "y4_phase", "fold"),
 )
 def simulate_resident_sym(
     pos,
@@ -436,6 +558,7 @@ def simulate_resident_sym(
     coincident: str = "auto",
     y4: tuple | None = None,
     y4_phase: int = 0,
+    fold: bool | None = None,
 ):
     """Run `steps` Euler steps entirely inside one kernel launch (module
     docstring); returns (pos, vel) after the final step.
@@ -476,6 +599,9 @@ def simulate_resident_sym(
     nb = np_ // tile
     nd = nb // 2 + 1
     n_int = -(-nb // nd)
+    if fold is None:
+        fold = _fold_auto(nb, tile, mxu)
+    fold = bool(fold) and nb >= 2
 
     pad = np_ - n
     pos = pos.astype(jnp.float32)
@@ -500,7 +626,7 @@ def simulate_resident_sym(
                           softening=float(softening), masses=masses,
                           mxu=mxu, fast=fast,
                           mask_offdiag=coincident != "fast",
-                          y4=y4, y4_phase=y4_phase),
+                          y4=y4, y4_phase=y4_phase, fold=fold),
         grid=(steps, nb + n_int, nd),
         in_specs=[pl.BlockSpec((8 * nb, tile), lambda s, i, d: (0, 0),
                                memory_space=vm)],
@@ -554,7 +680,7 @@ def auto_tile_ensemble(b: int, n: int, mxu: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "dt", "softening", "mxu", "tile", "interpret",
-                     "coincident", "y4", "y4_phase"),
+                     "coincident", "y4", "y4_phase", "fold"),
 )
 def simulate_resident_sym_ensemble(
     pos,
@@ -570,6 +696,7 @@ def simulate_resident_sym_ensemble(
     coincident: str = "auto",
     y4: tuple | None = None,
     y4_phase: int = 0,
+    fold: bool | None = None,
 ):
     """B independent systems x `steps` Euler steps in ONE kernel launch.
 
@@ -609,6 +736,9 @@ def simulate_resident_sym_ensemble(
     nd = nb // 2 + 1
     n_int = -(-nb // nd)
     masses = mass is not None
+    if fold is None:
+        fold = _fold_auto(nb, tile, mxu)
+    fold = bool(fold) and nb >= 2
 
     pad = np_ - n
     pos = pos.astype(jnp.float32)
@@ -634,7 +764,7 @@ def simulate_resident_sym_ensemble(
                           softening=float(softening), masses=masses,
                           mxu=mxu, fast=fast,
                           mask_offdiag=coincident != "fast", batched=True,
-                          y4=y4, y4_phase=y4_phase),
+                          y4=y4, y4_phase=y4_phase, fold=fold),
         grid=(steps, b, nb + n_int, nd),
         in_specs=[pl.BlockSpec((8 * b * nb, tile),
                                lambda s, sy, i, d: (0, 0),

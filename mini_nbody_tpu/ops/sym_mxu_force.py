@@ -148,6 +148,20 @@ def any_coincident(pos):
 #: helper on every segmented force call.
 _any_coincident_jit = jax.jit(any_coincident)
 
+def resolve_traversal(traversal: str, nc: int) -> str:
+    """Static resolution of traversal='auto': the slot-list traversal
+    (ops/slot_pipe.py) measured >= the band grid at EVERY probed size
+    (probe_slot_prod.py + the 1M A/B, v5e, coincident='fast' G/s —
+    slots-fold vs band: 8k 454.0/431.3, 16k 471.8/461.6, 65k 493.2/493.3,
+    262k 490.9/473.9, 1M 498.5/475.2), so 'auto' is simply 'slots'; the
+    band kernels stay reachable for A/B probes and drive the batched
+    ensemble (its leading-system-axis kernel is the band tri)."""
+    del nc
+    if traversal == "auto":
+        return "slots"
+    return traversal
+
+
 #: Below this many bodies (per system) 'auto' routes STRAIGHT to the
 #: always-correct masked kernels without the duplicate scan: the scan +
 #: lax.cond run once per force call, so in a stepped loop their fixed cost
@@ -485,6 +499,61 @@ def _make_scan_bodies(tri_call, cross_call, c):
     return tri_body, cross_body
 
 
+def _make_slot_scan_bodies(tri_call, cross_call, c):
+    """Scan bodies for the slot-pipelined traversal (ops/slot_pipe.py):
+    ONE unified (8, Np) accumulator carried, chunk results added at their
+    column offsets."""
+
+    def add(buf, off, a):
+        zero = jnp.zeros((), off.dtype)
+        cur = jax.lax.dynamic_slice(buf, (zero, off), (8, c))
+        return jax.lax.dynamic_update_slice(buf, cur + a, (zero, off))
+
+    def slice_chunk(pos_, pjt_, v_, off):
+        zero = jnp.zeros((), off.dtype)
+        pa = jax.lax.dynamic_slice(pos_, (off, zero), (c, 3))
+        pat = jax.lax.dynamic_slice(pjt_, (zero, off), (3, c))
+        va = jax.lax.dynamic_slice(v_, (off, zero), (c, 8))
+        return pa, pat, va
+
+    def tri_body(carry, off):
+        acc, pos_, pjt_, v_ = carry
+        pa, pat, va = slice_chunk(pos_, pjt_, v_, off)
+        return (add(acc, off, tri_call(pa, pat, va)), pos_, pjt_, v_), None
+
+    def cross_body(carry, ab):
+        acc, pos_, pjt_, v_ = carry
+        pa, _, va = slice_chunk(pos_, pjt_, v_, ab[0])
+        _, pbt, vb = slice_chunk(pos_, pjt_, v_, ab[1])
+        aa, abuf = cross_call(pa, pbt, va, vb)
+        acc = add(add(acc, ab[0], aa), ab[1], abuf)
+        return (acc, pos_, pjt_, v_), None
+
+    return tri_body, cross_body
+
+
+def _slot_accumulate(pos, pjt, v, softening, tile, c, nc, np_, interpret,
+                     split_w, mask_offdiag, fold=True):
+    """Unified (8, Np) accumulator via the slot-pipelined traversal."""
+    from mini_nbody_tpu.ops import slot_pipe
+
+    tri_call = slot_pipe.build_tri_slot_call(
+        softening, tile, c, interpret, split_w, mask_offdiag, fold)
+    if nc == 1:
+        return tri_call(pos, pjt, v)
+    cross_call = slot_pipe.build_cross_slot_call(
+        softening, tile, c, interpret, split_w, mask_offdiag)
+    tri_body, cross_body = _make_slot_scan_bodies(tri_call, cross_call, c)
+    carry = (jnp.zeros((8, np_), jnp.float32), pos, pjt, v)
+    offs = jnp.arange(nc, dtype=jnp.int32) * c
+    carry, _ = jax.lax.scan(tri_body, carry, offs)
+    from mini_nbody_tpu.ops.hostseg import cross_pair_offsets
+
+    pair_offs = jnp.asarray(cross_pair_offsets(nc, c), dtype=jnp.int32)
+    carry, _ = jax.lax.scan(cross_body, carry, pair_offs)
+    return carry[0]
+
+
 def _accumulate(pos, pjt, v, softening, tile, c, nc, np_, interpret,
                 split_w, mask_offdiag):
     """Raw (rows (Np,8), colsT (8,Np)) sums for one mask choice."""
@@ -509,7 +578,7 @@ def _accumulate(pos, pjt, v, softening, tile, c, nc, np_, interpret,
 @functools.partial(
     jax.jit,
     static_argnames=("softening", "tile", "chunk", "interpret", "split_w",
-                     "coincident"),
+                     "coincident", "traversal"),
 )
 def body_force_sym_mxu(
     pos,
@@ -520,6 +589,7 @@ def body_force_sym_mxu(
     interpret: bool = False,
     split_w: bool = False,
     coincident: str = "auto",
+    traversal: str = "auto",
 ):
     """All-pairs forces via the symmetric MXU hybrid (module docstring).
 
@@ -557,9 +627,23 @@ def body_force_sym_mxu(
             tile = padded_auto_tile(n, 1024, interpret)
         else:
             tile = 1024
+    if traversal not in ("auto", "slots", "band"):
+        raise ValueError(f"unknown traversal {traversal!r}")
     tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
+    traversal = resolve_traversal(traversal, nc)
     dup = any_coincident(pos) if coincident == "auto" else None
     pos, pjt, v = _pack(pos, mass, n, np_)
+
+    if traversal == "slots":
+        def run(mask_offdiag):
+            return _slot_accumulate(pos, pjt, v, softening, tile, c, nc,
+                                    np_, interpret, split_w, mask_offdiag)
+
+        if coincident == "auto":
+            acc = jax.lax.cond(dup, lambda: run(True), lambda: run(False))
+        else:
+            acc = run(coincident == "masked")
+        return _combine(pos, acc.T)[:n]
 
     def run(mask_offdiag):
         return _accumulate(pos, pjt, v, softening, tile, c, nc, np_,
@@ -679,6 +763,20 @@ def _segmented_runners(softening, tile, c, interpret, split_w=False,
     return hostseg.make_runners(tri_body, cross_body)
 
 
+@functools.lru_cache(maxsize=16)
+def _segmented_runners_slots(softening, tile, c, interpret, split_w=False,
+                             mask_offdiag=True):
+    """Slot-pipelined counterpart of _segmented_runners (unified acc)."""
+    from mini_nbody_tpu.ops import hostseg, slot_pipe
+
+    tri_call = slot_pipe.build_tri_slot_call(
+        softening, tile, c, interpret, split_w, mask_offdiag)
+    cross_call = slot_pipe.build_cross_slot_call(
+        softening, tile, c, interpret, split_w, mask_offdiag)
+    tri_body, cross_body = _make_slot_scan_bodies(tri_call, cross_call, c)
+    return hostseg.make_runners1(tri_body, cross_body)
+
+
 def body_force_sym_mxu_ensemble(
     pos,
     mass=None,
@@ -779,6 +877,7 @@ def body_force_sym_mxu_segmented(
     progress=None,
     split_w: bool = False,
     coincident: str = "auto",
+    traversal: str = "auto",
 ):
     """body_force_sym_mxu driven as multiple host dispatches for N where one
     force pass exceeds the execution watchdog (shared driver + crash-bound
@@ -790,6 +889,8 @@ def body_force_sym_mxu_segmented(
     from mini_nbody_tpu.ops import hostseg
 
     check_coincident(coincident)
+    if traversal not in ("auto", "slots", "band"):
+        raise ValueError(f"unknown traversal {traversal!r}")
     coincident = resolve_auto(coincident, pos.shape[0])
     if coincident == "auto":
         import numpy as _np
@@ -799,7 +900,16 @@ def body_force_sym_mxu_segmented(
         mask_offdiag = coincident == "masked"
     n = pos.shape[0]
     tile, c, nc, np_ = _resolve_tiling(n, tile, chunk, interpret)
+    traversal = resolve_traversal(traversal, nc)
     pos, pjt, v = _pack(pos, mass, n, np_)
+    if traversal == "slots":
+        run_tri, run_cross = _segmented_runners_slots(
+            float(softening), tile, c, interpret, split_w, mask_offdiag)
+        (acc,) = hostseg.drive(
+            run_tri, run_cross, (jnp.zeros((8, np_), jnp.float32),),
+            (pos, pjt, v), nc, c,
+            pairs_per_dispatch=pairs_per_dispatch, progress=progress)
+        return _combine(pos, acc.T)[:n]
     run_tri, run_cross = _segmented_runners(
         float(softening), tile, c, interpret, split_w, mask_offdiag)
 

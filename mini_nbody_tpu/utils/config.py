@@ -167,6 +167,7 @@ class SimConfig:
     split_w: bool = False
     resident: Optional[bool] = None
     coincident: str = "auto"
+    traversal: str = "auto"
 
     def __post_init__(self):
         if self.n <= 0:
@@ -177,6 +178,9 @@ class SimConfig:
             raise ValueError(
                 f"integrator must be one of {_INTEGRATORS}, got {self.integrator!r}"
             )
+        if self.traversal not in ("auto", "slots", "band"):
+            raise ValueError(
+                f"traversal must be auto/slots/band, got {self.traversal!r}")
         if self.pair_dtype not in _PAIR_DTYPES:
             raise ValueError(
                 f"pair_dtype must be one of {_PAIR_DTYPES}, got {self.pair_dtype!r}"

@@ -40,8 +40,12 @@ def test_force_bitwise_vs_standalone(masses):
     f = np.asarray(body_force_sym_mxu_ensemble(st.pos, m, tile=TILE,
                                                interpret=INTERP))
     for i in range(B):
+        # traversal='band': the ensemble kernel IS the band tri kernel
+        # under a system axis, so the bitwise contract is against the band
+        # standalone (the slot-list default differs by accumulation order)
         ref = body_force_sym_mxu(ss[i].pos, ss[i].mass if masses else None,
-                                 tile=TILE, chunk=C, interpret=INTERP)
+                                 tile=TILE, chunk=C, interpret=INTERP,
+                                 traversal="band")
         np.testing.assert_array_equal(f[i], np.asarray(ref))
 
 
@@ -65,6 +69,7 @@ def test_force_bitwise_band_parities(n, tile):
                                                  interpret=INTERP))
     for i in range(3):
         rf = body_force_sym_mxu(ss[i].pos, ss[i].mass, tile=tile, chunk=c,
+                                traversal="band",
                                 interpret=INTERP)
         rg = body_force_symmetric(ss[i].pos, ss[i].mass, tile=tile, chunk=c,
                                   interpret=INTERP)
@@ -90,7 +95,7 @@ def test_trajectory_bitwise_vs_per_system(integrator):
                     resident=False)
     out = simulate_ensemble(cfg, st)
     for i in range(B):
-        ref = simulate(cfg.replace(sym_chunk=C), ss[i])
+        ref = simulate(cfg.replace(sym_chunk=C, traversal="band"), ss[i])
         np.testing.assert_array_equal(np.asarray(out.pos[i]),
                                       np.asarray(ref.pos))
         np.testing.assert_array_equal(np.asarray(out.vel[i]),
@@ -165,7 +170,8 @@ def test_fp32_trajectory_bitwise_vs_per_system():
                     use_masses=True, interpret=True, integrator="leapfrog")
     out = simulate_ensemble(cfg, st)
     for i in range(B):
-        ref = simulate(cfg.replace(sym_chunk=C, resident=False), ss[i])
+        ref = simulate(cfg.replace(sym_chunk=C, resident=False,
+                                   traversal="band"), ss[i])
         np.testing.assert_array_equal(np.asarray(out.pos[i]),
                                       np.asarray(ref.pos))
 
@@ -503,8 +509,9 @@ class TestTrajectoryEnsemble:
         out, hist = trajectory_ensemble(cfg, st, save_every=2)
         assert hist.shape == (3, B, N, 3)
         for i in range(B):
-            ref, rhist = trajectory(cfg.replace(sym_chunk=C, resident=False),
-                                    ss[i], cfg.steps, save_every=2)
+            ref, rhist = trajectory(
+                cfg.replace(sym_chunk=C, resident=False, traversal="band"),
+                ss[i], cfg.steps, save_every=2)
             np.testing.assert_array_equal(np.asarray(hist[:, i]),
                                           np.asarray(rhist))
             np.testing.assert_array_equal(np.asarray(out.pos[i]),

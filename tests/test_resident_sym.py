@@ -299,3 +299,41 @@ class TestCoincidentFast:
         with pytest.raises(ValueError, match="coincident"):
             simulate_resident_sym(s.pos, s.vel, steps=1, dt=1e-3,
                                   interpret=INTERP, coincident="no")
+
+
+def test_fold_vs_nofold_trajectory():
+    """Folded diagonals change only eval geometry: same trajectory up to
+    fp32 reassociation (rows/cols split differs on diagonal blocks)."""
+    import numpy as np
+
+    s = init.plummer(jax.random.key(31), 192)
+    outs = {}
+    for fold in (False, True):
+        p, v = simulate_resident_sym(
+            s.pos, s.vel, s.mass, steps=5, dt=1e-3, tile=64, mxu=False,
+            interpret=INTERP, fold=fold)
+        outs[fold] = np.asarray(p)
+    scale = max(1.0, np.abs(outs[False]).max())
+    np.testing.assert_allclose(outs[True], outs[False], rtol=0,
+                               atol=1e-5 * scale)
+
+
+def test_fold_ensemble_bitwise_vs_standalone():
+    """The batched kernel with fold stays bitwise equal per system to the
+    standalone fold run (same kernel body, same fold slots)."""
+    import numpy as np
+    from mini_nbody_tpu.ops.resident_sym import simulate_resident_sym_ensemble
+
+    ss = [init.plummer(jax.random.key(41 + i), 96) for i in range(2)]
+    pos = jnp.stack([s.pos for s in ss])
+    vel = jnp.stack([s.vel for s in ss])
+    mass = jnp.stack([s.mass for s in ss])
+    pe, ve = simulate_resident_sym_ensemble(
+        pos, vel, mass, steps=4, dt=1e-3, tile=32, mxu=True,
+        interpret=INTERP, fold=True)
+    for i, s in enumerate(ss):
+        p1, v1 = simulate_resident_sym(
+            s.pos, s.vel, s.mass, steps=4, dt=1e-3, tile=32, mxu=True,
+            interpret=INTERP, fold=True)
+        np.testing.assert_array_equal(np.asarray(pe)[i], np.asarray(p1))
+        np.testing.assert_array_equal(np.asarray(ve)[i], np.asarray(v1))
