@@ -188,13 +188,18 @@ def auto_tile(n: int, mxu: bool, masses: bool = False) -> int:
 
 
 
-#: Folded-diagonal auto policy: fold engages where the diagonal waste is a
-#: large share of the pass and the fold temporaries are VMEM-safe. Set by
-#: the round-5 on-chip probe (benchmarks/probe_resident_fold.py); nb == 1
-#: cannot fold (auto_tile handles the N <= tile case by scoring half
-#: tiles with fold-aware effective evals).
+#: Folded-diagonal auto policy, pinned by the round-5 on-chip probe
+#: (benchmarks/probe_resident_fold.py, v5e, us/step fold vs nofold):
+#: mxu t=1024: 2048 12.54/15.31 (+22%), 4096 45.52/49.3 (+8%), 8192
+#: 165.47/182.72 (+10%); mxu t=512: neutral (1024: 4.90/4.93 — at small
+#: tiles the doubled 8xTxT matmuls + select overhead offset the halved
+#: evals); fp32 t=512: 1024 6.77/8.04 (+19%); t=256: noise. nb*tile <=
+#: 8192 keeps forced big-N resident runs on the probed admission tables
+#: (fold holds ~3 live (T,T) temporaries, probed only to nb=8 at 1024).
 def _fold_auto(nb: int, tile: int, mxu: bool) -> bool:
-    return 2 <= nb and nb * tile <= 8192
+    if nb < 2 or nb * tile > 8192:
+        return False
+    return tile >= (1024 if mxu else 512)
 
 
 def _blk(ref, b):
