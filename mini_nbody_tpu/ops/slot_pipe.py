@@ -300,3 +300,99 @@ def build_cross_slot_call(softening, tile, c, interpret, split_w=False,
         return acc[:, :c], acc[:, c:]
 
     return run
+
+
+def _tri_slot_ensemble_kernel(idx_ref, pi_ref, pjt_ref, vi_ref, vj_ref,
+                              acc_ref, *, softening, tile, fast, split_w,
+                              fold, mask_offdiag, nb):
+    """_tri_slot_kernel under a leading system axis: grid (B, S); system
+    sy owns block columns sy*nb .. sy*nb+nb-1 of the stacked (8, B*C)
+    accumulator. Slot indices are system-local; operands arrive through
+    the index maps already offset, so only the accumulator columns need
+    the base shift here."""
+    sy = pl.program_id(0)
+    s = pl.program_id(1)
+    base = sy * nb
+
+    @pl.when(jnp.logical_and(sy == 0, s == 0))
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kind = idx_ref[3 * s]
+    bi = base + idx_ref[3 * s + 1]
+    bj = base + idx_ref[3 * s + 2]
+
+    @pl.when(kind == SLOT_DIAG)
+    def _diag():
+        w = _w_parts(_w_block(pi_ref[:], pjt_ref[:], softening, fast,
+                              mask=True), split_w)
+        _acc_add(acc_ref, bi, tile,
+                 jnp.swapaxes(_mm_rows(w, vj_ref[:]), 0, 1))
+
+    @pl.when(kind == SLOT_CROSS)
+    def _cross():
+        w = _w_parts(_w_block(pi_ref[:], pjt_ref[:], softening, fast,
+                              mask=mask_offdiag), split_w)
+        _acc_add(acc_ref, bi, tile,
+                 jnp.swapaxes(_mm_rows(w, vj_ref[:]), 0, 1))
+        _acc_add(acc_ref, bj, tile, _mm_cols(vi_ref[:], w))
+
+    if fold:
+        @pl.when(kind == SLOT_FOLD)
+        def _fold():
+            w_lo, w_hi = _w_fold_block(pi_ref[:], pjt_ref[:], softening,
+                                       fast, mask_offdiag, tile)
+            lo = _w_parts(w_lo, split_w)
+            hi = _w_parts(w_hi, split_w)
+            _acc_add(acc_ref, bi, tile,
+                     jnp.swapaxes(_mm_rows(lo, vi_ref[:]), 0, 1)
+                     + _mm_cols(vi_ref[:], lo))
+            _acc_add(acc_ref, bj, tile,
+                     jnp.swapaxes(_mm_rows(hi, vj_ref[:]), 0, 1)
+                     + _mm_cols(vj_ref[:], hi))
+
+
+def build_tri_slot_ensemble(softening, tile, c, b, interpret, split_w=False,
+                            mask_offdiag=True, fold=True):
+    """B-system slot call: (pos (B*c,3), pos^T (3,B*c), v (B*c,8)) -> acc
+    (8, B*c). Each system runs the SAME slot list over its own nb blocks —
+    per-system results are bitwise identical to the single-system
+    build_tri_slot_call at the same (tile, c) (same slots, same order)."""
+    nb = c // tile
+    fold = fold and nb > 1
+    rows = tri_slot_list(nb, fold)
+    idx = pack_slot_idx(rows)
+    nslots = len(rows)
+    vm = pltpu.VMEM
+    bmap = lambda col: (lambda sy, s, idx: (sy * nb + idx[3 * s + col], 0))
+    bmapT = lambda col: (lambda sy, s, idx: (0, sy * nb + idx[3 * s + col]))
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nslots),
+        in_specs=[
+            pl.BlockSpec((tile, 3), bmap(1), memory_space=vm),
+            pl.BlockSpec((3, tile), bmapT(2), memory_space=vm),
+            pl.BlockSpec((tile, 8), bmap(1), memory_space=vm),
+            pl.BlockSpec((tile, 8), bmap(2), memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((8, b * c), lambda sy, s, idx: (0, 0),
+                               memory_space=vm),
+        scratch_shapes=(),
+    )
+    kern = functools.partial(
+        _tri_slot_ensemble_kernel, softening=float(softening), tile=tile,
+        fast=fast_rsqrt_cube(softening), split_w=split_w, fold=fold,
+        mask_offdiag=mask_offdiag, nb=nb)
+    pairs = b * nb * (nb + 1) // 2 * tile * tile
+    call = pl.pallas_call(
+        kern,
+        grid_spec=spec,
+        out_shape=jax.ShapeDtypeStruct((8, b * c), jnp.float32),
+        interpret=interpret,
+        compiler_params=_CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=49 * pairs, bytes_accessed=b * c * 96,
+            transcendentals=pairs),
+    )
+    return lambda pos, post, v: call(idx, pos, post, v, v)

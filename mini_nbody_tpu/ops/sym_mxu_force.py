@@ -785,6 +785,7 @@ def body_force_sym_mxu_ensemble(
     interpret: bool = False,
     split_w: bool = False,
     coincident: str = "auto",
+    traversal: str = "auto",
 ):
     """Forces for B INDEPENDENT systems in one program: pos (B, N, 3)
     [, mass (B, N)] -> (B, N, 3), no cross-system interactions.
@@ -810,9 +811,11 @@ def body_force_sym_mxu_ensemble(
     check_coincident(coincident)
     if pos.ndim != 3:
         raise ValueError(f"ensemble pos must be (B, N, 3), got {pos.shape}")
+    if traversal not in ("auto", "slots", "band"):
+        raise ValueError(f"unknown traversal {traversal!r}")
     return _ensemble_impl(pos, mass, softening=float(softening), tile=tile,
                           interpret=interpret, split_w=split_w,
-                          coincident=coincident)
+                          coincident=coincident, traversal=traversal)
 
 
 def ensemble_tiling(n, tile, interpret):
@@ -833,12 +836,13 @@ def ensemble_tiling(n, tile, interpret):
 @functools.partial(
     jax.jit,
     static_argnames=("softening", "tile", "interpret", "split_w",
-                     "coincident"),
+                     "coincident", "traversal"),
 )
 def _ensemble_impl(pos, mass, *, softening, tile, interpret, split_w,
-                   coincident):
+                   coincident, traversal="auto"):
     b, n = pos.shape[0], pos.shape[1]
     t, c = ensemble_tiling(n, tile, interpret)
+    traversal = resolve_traversal(traversal, 1)
     coincident = resolve_auto(coincident, n)
     if coincident == "auto":
         dup = jnp.any(jax.vmap(any_coincident)(pos))
@@ -852,6 +856,21 @@ def _ensemble_impl(pos, mass, *, softening, tile, interpret, split_w,
         m_p = jnp.pad(mass.astype(jnp.float32),
                       ((0, 0), (0, c - n))).reshape(b * c)
     flat, pjt, v = _pack(pos_p, m_p, b * c, b * c)
+
+    if traversal == "slots":
+        from mini_nbody_tpu.ops import slot_pipe
+
+        def run_s(mask_offdiag):
+            call = slot_pipe.build_tri_slot_ensemble(
+                softening, t, c, b, interpret, split_w, mask_offdiag)
+            return call(flat, pjt, v)
+
+        if coincident == "auto":
+            acc = jax.lax.cond(
+                dup, lambda: run_s(True), lambda: run_s(False))
+        else:
+            acc = run_s(coincident == "masked")
+        return _combine(flat, acc.T).reshape(b, c, 3)[:, :n]
 
     def run(mask_offdiag):
         call = _build_tri_ensemble(softening, t, c, b, interpret, split_w,

@@ -33,19 +33,21 @@ def _systems(masses=False, key0=0):
                          mass=jnp.stack([s.mass for s in ss]))
 
 
+@pytest.mark.parametrize("traversal", ["slots", "band"])
 @pytest.mark.parametrize("masses", [False, True])
-def test_force_bitwise_vs_standalone(masses):
+def test_force_bitwise_vs_standalone(masses, traversal):
+    # The bitwise contract holds PER TRAVERSAL: each ensemble kernel (slot
+    # grid / band grid under a system axis) runs the same slots in the
+    # same order as its standalone twin.
     ss, st = _systems(masses)
     m = st.mass if masses else None
     f = np.asarray(body_force_sym_mxu_ensemble(st.pos, m, tile=TILE,
-                                               interpret=INTERP))
+                                               interpret=INTERP,
+                                               traversal=traversal))
     for i in range(B):
-        # traversal='band': the ensemble kernel IS the band tri kernel
-        # under a system axis, so the bitwise contract is against the band
-        # standalone (the slot-list default differs by accumulation order)
         ref = body_force_sym_mxu(ss[i].pos, ss[i].mass if masses else None,
                                  tile=TILE, chunk=C, interpret=INTERP,
-                                 traversal="band")
+                                 traversal=traversal)
         np.testing.assert_array_equal(f[i], np.asarray(ref))
 
 
@@ -59,22 +61,29 @@ def test_force_bitwise_band_parities(n, tile):
     from mini_nbody_tpu.ops.symmetric_force import (
         body_force_symmetric, body_force_symmetric_ensemble)
 
+    import contextlib
+
     c = round_up(n, tile)
     ss = [init.plummer(jax.random.key(7 * i + 1), n) for i in range(3)]
     pos = jnp.stack([s.pos for s in ss])
     mass = jnp.stack([s.mass for s in ss])
-    f = np.asarray(body_force_sym_mxu_ensemble(pos, mass, tile=tile,
-                                               interpret=INTERP))
-    g = np.asarray(body_force_symmetric_ensemble(pos, mass, tile=tile,
-                                                 interpret=INTERP))
-    for i in range(3):
-        rf = body_force_sym_mxu(ss[i].pos, ss[i].mass, tile=tile, chunk=c,
-                                traversal="band",
-                                interpret=INTERP)
-        rg = body_force_symmetric(ss[i].pos, ss[i].mass, tile=tile, chunk=c,
-                                  interpret=INTERP)
-        np.testing.assert_array_equal(f[i], np.asarray(rf))
-        np.testing.assert_array_equal(g[i], np.asarray(rg))
+    # Interpret runs compare under disable_jit: XLA:CPU FMA contraction is
+    # compilation-context-dependent (TestEnsembleBackwardBitwise docstring)
+    # and the slot-grid ensemble program contracts differently from the
+    # standalone one at nb == 1.
+    ctx = jax.disable_jit() if INTERP else contextlib.nullcontext()
+    with ctx:
+        f = np.asarray(body_force_sym_mxu_ensemble(pos, mass, tile=tile,
+                                                   interpret=INTERP))
+        g = np.asarray(body_force_symmetric_ensemble(pos, mass, tile=tile,
+                                                     interpret=INTERP))
+        for i in range(3):
+            rf = body_force_sym_mxu(ss[i].pos, ss[i].mass, tile=tile,
+                                    chunk=c, interpret=INTERP)
+            rg = body_force_symmetric(ss[i].pos, ss[i].mass, tile=tile,
+                                      chunk=c, interpret=INTERP)
+            np.testing.assert_array_equal(f[i], np.asarray(rf))
+            np.testing.assert_array_equal(g[i], np.asarray(rg))
 
 
 @pytest.mark.parametrize("integrator", ["euler", "leapfrog", "yoshida4"])
@@ -95,7 +104,7 @@ def test_trajectory_bitwise_vs_per_system(integrator):
                     resident=False)
     out = simulate_ensemble(cfg, st)
     for i in range(B):
-        ref = simulate(cfg.replace(sym_chunk=C, traversal="band"), ss[i])
+        ref = simulate(cfg.replace(sym_chunk=C), ss[i])
         np.testing.assert_array_equal(np.asarray(out.pos[i]),
                                       np.asarray(ref.pos))
         np.testing.assert_array_equal(np.asarray(out.vel[i]),
@@ -393,13 +402,21 @@ class TestResidentEnsemble:
                         interpret=True, integrator=integrator,
                         resident=True)
         assert _route_resident_ensemble(cfg, 3, B)
-        out = simulate_ensemble(cfg, st)
-        for i in range(B):
-            ref = simulate(cfg, ss[i])
-            np.testing.assert_array_equal(np.asarray(out.pos[i]),
-                                          np.asarray(ref.pos))
-            np.testing.assert_array_equal(np.asarray(out.vel[i]),
-                                          np.asarray(ref.vel))
+        # disable_jit under interpret: the leapfrog END KICKS run streamed
+        # forces (ensemble vs standalone slot programs), whose XLA:CPU FMA
+        # contraction is compilation-context-dependent — the same flake
+        # class as test_force_bitwise_band_parities.
+        import contextlib
+
+        ctx = jax.disable_jit() if cfg.interpret else contextlib.nullcontext()
+        with ctx:
+            out = simulate_ensemble(cfg, st)
+            for i in range(B):
+                ref = simulate(cfg, ss[i])
+                np.testing.assert_array_equal(np.asarray(out.pos[i]),
+                                              np.asarray(ref.pos))
+                np.testing.assert_array_equal(np.asarray(out.vel[i]),
+                                              np.asarray(ref.vel))
 
     def test_routing_rules(self):
         from mini_nbody_tpu.sim import _route_resident_ensemble
@@ -510,7 +527,7 @@ class TestTrajectoryEnsemble:
         assert hist.shape == (3, B, N, 3)
         for i in range(B):
             ref, rhist = trajectory(
-                cfg.replace(sym_chunk=C, resident=False, traversal="band"),
+                cfg.replace(sym_chunk=C, resident=False),
                 ss[i], cfg.steps, save_every=2)
             np.testing.assert_array_equal(np.asarray(hist[:, i]),
                                           np.asarray(rhist))
