@@ -117,7 +117,9 @@ _MAX_NB = {
            384: 342, 256: 512, 128: 1024},
     # (v): 1024 ok at nb=112 / fails nb=128; 896 ok at nb=134
     #      (395.3 G/s at n=120000); 768 ok at nb=171 (the N cap);
-    #      512 ok at nb=256 (the N cap)
+    #      512 ok at nb=256 (the N cap); r5 probe_admission_r5: 640/205,
+    #      384/342, 256/512, 128/1024 ALL compile-verified, both mass
+    #      modes — every auto_tile-selectable entry is now (v)
     False: {1024: 56, 896: 112, 768: 170, 640: 205, 512: 256,
             384: 342, 256: 512, 128: 1024},
     # Post-diet round-4 probe, all (v): 1024 ok at nb=56 (321.7 G/s at
@@ -141,6 +143,9 @@ _MAX_NB = {
 _MAX_NB_FP32_MASS = {
     896: 48, 768: 128, 640: 205, 512: 256,
     384: 342, 256: 512, 128: 1024,
+    # r5 probe_admission_r5: 384/342, 256/512, 128/1024 compile-verified
+    # in fp32 mass mode (the mode that broke the interpolation in r4) —
+    # all reachable entries (v)
 }
 
 #: Measured large-N GInteractions/s per (mode, tile) on v5e (same probe);

@@ -1,11 +1,11 @@
-"""Slot-list pipelined traversal (ops/slot_pipe.py): slot-list coverage
-properties, equivalence to the band traversal, fold correctness, the
-auto/masked bitwise invariant, and the segmented driver.
+"""Slot-list traversal (ops/slot_pipe.py): slot-list coverage properties,
+equivalence to the band traversal, fold correctness, the auto/masked
+bitwise invariant, and the segmented driver.
 
-Interpret mode stores the w scratch at fp32 (slot_pipe builders), so the
-slot path matches the band path to accumulation-order ulps on CPU; on the
-real TPU both paths feed the MXU bf16 operands and share one error class
-(gated by the config-3 drift run like every sym_mxu surface)."""
+On CPU both traversals run fp32 matmuls, so slots match band to
+accumulation-order ulps; on the real TPU both feed the MXU bf16 operands
+and share one error class (gated by the config-3 drift run like every
+sym_mxu surface)."""
 
 import jax
 import jax.numpy as jnp
@@ -106,8 +106,11 @@ def test_fold_vs_nofold_and_duplicates():
     ref = np.asarray(body_force_jnp(pos, pos, mass))
     scale = max(np.abs(ref).max(), 1.0)
     outs = []
+    # direct builder call: tile must be 128-aligned on real TPU (Mosaic
+    # lane rule; the production entry rounds up via _resolve_tiling)
+    t = 64 if INTERP else 128
     for fold in (False, True):
-        call = sp.build_tri_slot_call(1e-9, 64, 256, interpret=INTERP,
+        call = sp.build_tri_slot_call(1e-9, t, 256, interpret=INTERP,
                                       mask_offdiag=True, fold=fold)
         f = np.asarray(_combine(p, np.asarray(call(p, pjt, v)).T))
         np.testing.assert_allclose(f, ref, rtol=RTOL,
