@@ -171,9 +171,14 @@ def resolve_traversal(traversal: str, nc: int) -> str:
 #: scan+cond+maskless cost is visible at every N — G/s, scan-auto vs
 #: masked): 4096 284.3/348.3, 8192 385.5/390.0, 16384 433.3/411.8,
 #: 32768 468.7/426.7, 65536 486.7/434.5 — scan-auto overtakes masked
-#: between 8192 and 16384. Bitwise-neutral by construction: 'auto' is
-#: defined as producing the masked result for every input.
-COINCIDENT_AUTO_MIN_N = 16384
+#: between 8192 and 16384 under the BAND traversal. Round 5 re-probed
+#: under the slot traversal (benchmarks/_t_gate8k.py-style step timing):
+#: 8192 scan-auto 406.9 vs masked 403.6 vs fast 457.6 — the bigger
+#: maskless gain moves the crossover down one octave, so the gate is now
+#: 8192 (below that simulate auto-routes the resident kernel anyway).
+#: Bitwise-neutral by construction: 'auto' is defined as producing the
+#: masked result for every input.
+COINCIDENT_AUTO_MIN_N = 8192
 
 
 def resolve_auto(coincident: str, n: int) -> str:
